@@ -1,0 +1,495 @@
+"""Simulation scene container, statistics and exporters.
+
+API-parity rewrite of reference containers/s3dis_sim_scene.py:29-699:
+same output artifacts (simulation_statistics.{json,txt}, simulation_summary,
+combined_pointcloud.ply, combined_pointcloud_with_label.ply) with the hot
+pieces re-done TPU-style — sklearn BallTree 1-NN label transfer becomes a
+tiled on-device argmin (ipcgen_tpu.ops.knn) and the per-point struct.pack PLY
+loop becomes one vectorized write (ipcgen_tpu.io.ply.write_labeled_ply).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ipcgen_tpu.containers.sim_frame import S3DISSimFrame, ScanQuality
+from ipcgen_tpu.io.ply import write_labeled_ply, write_point_cloud
+from ipcgen_tpu.utils.json_utils import NumpyEncoder
+
+
+@dataclass
+class SimulationStats:
+    """Aggregate simulation statistics (reference: s3dis_sim_scene.py:29-55)."""
+
+    total_frames: int
+    total_points: int
+    average_coverage: float
+    average_scan_density: float
+    average_incident_angle: float
+    average_range: float
+    simulation_time: float
+    frames_per_second: float
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "total_frames": self.total_frames,
+            "total_points": self.total_points,
+            "average_coverage": self.average_coverage,
+            "average_scan_density": self.average_scan_density,
+            "average_incident_angle": self.average_incident_angle,
+            "average_range": self.average_range,
+            "simulation_time": self.simulation_time,
+            "frames_per_second": self.frames_per_second,
+        }
+
+
+class ResultExporter:
+    """Multi-format result exporter (reference: s3dis_sim_scene.py:58-125)."""
+
+    def __init__(self, output_dir: Path):
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+
+    def export_frames(self, frames: List[S3DISSimFrame], format: str = "pkl") -> None:
+        frames_dir = self.output_dir / "frames"
+        frames_dir.mkdir(exist_ok=True)
+        for frame in frames:
+            if format == "pkl":
+                with open(frames_dir / f"frame_{frame.frame_index:04d}.pkl", "wb") as f:
+                    pickle.dump(frame.to_dict(), f)
+            elif format == "json":
+                with open(frames_dir / f"frame_{frame.frame_index:04d}.json", "w") as f:
+                    json.dump(frame.to_dict(), f, indent=2, cls=NumpyEncoder)
+            else:
+                raise ValueError(f"Unsupported format: {format}")
+
+    def export_statistics(self, stats: SimulationStats, format: str = "json") -> None:
+        if format == "json":
+            with open(self.output_dir / "simulation_statistics.json", "w") as f:
+                json.dump(stats.to_dict(), f, indent=2, cls=NumpyEncoder)
+        elif format == "txt":
+            # Text layout matches the reference byte-for-byte
+            # (s3dis_sim_scene.py:92-103) so resume/skip logic and downstream
+            # parsers keep working.
+            with open(self.output_dir / "simulation_statistics.txt", "w") as f:
+                f.write("Simulation Statistics\n")
+                f.write("=" * 50 + "\n")
+                f.write(f"Total frames: {stats.total_frames}\n")
+                f.write(f"Total points: {stats.total_points}\n")
+                f.write(f"Average coverage: {stats.average_coverage:.3f}\n")
+                f.write(f"Average scan density: {stats.average_scan_density:.3f}\n")
+                f.write(f"Average incident angle: {stats.average_incident_angle:.3f}\n")
+                f.write(f"Average range: {stats.average_range:.3f}\n")
+                f.write(f"Simulation time: {stats.simulation_time:.3f}s\n")
+                f.write(f"Frames per second: {stats.frames_per_second:.3f} FPS\n")
+        else:
+            raise ValueError(f"Unsupported format: {format}")
+
+    def export_summary(self, sim_scene: "S3DISSimScene", format: str = "json") -> None:
+        summary = {
+            "scene_name": sim_scene.scene_name,
+            "simulation_config": sim_scene.simulation_config,
+            "statistics": sim_scene.statistics.to_dict() if sim_scene.statistics else None,
+            "frame_summary": {
+                "frame_indices": [f.frame_index for f in sim_scene.frames],
+                "point_counts": [f.get_num_points() for f in sim_scene.frames],
+                "coverage_ratios": [f.get_coverage_ratio() for f in sim_scene.frames],
+            },
+        }
+        if format == "json":
+            with open(self.output_dir / "simulation_summary.json", "w") as f:
+                json.dump(summary, f, indent=2, cls=NumpyEncoder)
+        else:
+            raise ValueError(f"Unsupported format: {format}")
+
+
+class S3DISSimScene:
+    """All frames of one simulated room + exporters (reference: s3dis_sim_scene.py:128-699)."""
+
+    def __init__(
+        self,
+        scene_name: str,
+        simulation_config: Optional[Dict[str, Any]] = None,
+        mesh: Optional[object] = None,
+        s3dis_data_root: Optional[str] = None,
+        area: Optional[str] = None,
+        room: Optional[str] = None,
+    ):
+        self.scene_name = scene_name
+        self.simulation_config = simulation_config or {}
+        self.frames: List[S3DISSimFrame] = []
+        self.statistics: Optional[SimulationStats] = None
+        self.exporter: Optional[ResultExporter] = None
+        self.mesh = mesh
+        self.s3dis_data_root = s3dis_data_root
+        self.area = area
+        self.room = room
+        self._s3dis_cache: Optional[Dict[str, np.ndarray]] = None
+
+    # ------------------------------------------------------------------
+    def append_frame(self, frame: S3DISSimFrame) -> None:
+        self.frames.append(frame)
+
+    def get_total_frames(self) -> int:
+        return len(self.frames)
+
+    def get_total_points(self) -> int:
+        return sum(f.get_num_points() for f in self.frames)
+
+    def get_average_coverage(self) -> float:
+        if not self.frames:
+            return 0.0
+        return float(np.mean([f.get_coverage_ratio() for f in self.frames]))
+
+    def get_average_scan_density(self) -> float:
+        if not self.frames:
+            return 0.0
+        return float(np.mean([f.get_scan_density() for f in self.frames]))
+
+    def get_average_incident_angle(self) -> float:
+        if not self.frames:
+            return 0.0
+        return float(np.mean([f.get_mean_incident_angle() for f in self.frames]))
+
+    def get_average_range(self) -> float:
+        if not self.frames:
+            return 0.0
+        return float(np.mean([f.get_mean_range() for f in self.frames]))
+
+    def get_frame_statistics(self) -> Dict[str, List[float]]:
+        if not self.frames:
+            return {}
+        return {
+            "frame_indices": [f.frame_index for f in self.frames],
+            "point_counts": [f.get_num_points() for f in self.frames],
+            "coverage_ratios": [f.get_coverage_ratio() for f in self.frames],
+            "scan_densities": [f.get_scan_density() for f in self.frames],
+            "incident_angles": [f.get_mean_incident_angle() for f in self.frames],
+            "ranges": [f.get_mean_range() for f in self.frames],
+        }
+
+    def get_quality_distribution(self) -> Dict[str, Any]:
+        if not self.frames:
+            return {}
+        fs = self.get_frame_statistics()
+
+        def dist(vals):
+            return {
+                "mean": float(np.mean(vals)),
+                "std": float(np.std(vals)),
+                "min": float(np.min(vals)),
+                "max": float(np.max(vals)),
+            }
+
+        return {
+            "coverage_distribution": dist(fs["coverage_ratios"]),
+            "point_count_distribution": dist(fs["point_counts"]),
+            "incident_angle_distribution": dist(fs["incident_angles"]),
+        }
+
+    def compute_statistics(self, simulation_time: float = 0.0) -> None:
+        if not self.frames:
+            self.statistics = SimulationStats(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+            return
+        self.statistics = SimulationStats(
+            total_frames=self.get_total_frames(),
+            total_points=self.get_total_points(),
+            average_coverage=self.get_average_coverage(),
+            average_scan_density=self.get_average_scan_density(),
+            average_incident_angle=self.get_average_incident_angle(),
+            average_range=self.get_average_range(),
+            simulation_time=simulation_time,
+            frames_per_second=(
+                self.get_total_frames() / simulation_time if simulation_time > 0 else 0.0
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def save_results(self, output_dir: Path, formats: List[str] = ["pkl", "txt"]) -> None:
+        """Write all result artifacts (reference: s3dis_sim_scene.py:249-276).
+
+        Preserves the reference's quirk of recomputing statistics without a
+        wall time unless compute_statistics(t) was already called.
+        """
+        output_dir = Path(output_dir)
+        self.exporter = ResultExporter(output_dir)
+        if self.statistics is None:
+            self.compute_statistics()
+
+        for fmt in formats:
+            if fmt in ("json", "txt"):
+                self.exporter.export_statistics(self.statistics, fmt)
+        if "json" in formats:
+            self.exporter.export_summary(self, "json")
+        elif "txt" in formats:
+            self._save_simple_summary(output_dir)
+
+        self._export_combined_pointcloud(output_dir)
+        self._export_combined_pointcloud_with_labels(output_dir)
+
+    def _save_simple_summary(self, output_dir: Path) -> None:
+        summary_path = output_dir / "simulation_summary.txt"
+        with open(summary_path, "w", encoding="utf-8") as f:
+            f.write("S3DIS Simulation Results Summary\n")
+            f.write("=" * 50 + "\n\n")
+            f.write(f"Scene name: {self.scene_name}\n")
+            f.write(f"Total frames: {len(self.frames)}\n")
+            f.write(f"Total points: {self.get_total_points():,}\n")
+            f.write(f"Average coverage: {self.get_average_coverage():.3f}\n")
+            f.write(f"Average scan density: {self.get_average_scan_density():.3f}\n")
+            f.write(f"Average incident angle: {self.get_average_incident_angle():.1f}°\n")
+            f.write(f"Average range: {self.get_average_range():.2f}m\n")
+            if self.statistics:
+                f.write("\nSimulation Statistics:\n")
+                f.write(f"  Simulation time: {self.statistics.simulation_time:.2f}s\n")
+                f.write(f"  Frame rate: {self.statistics.frames_per_second:.1f} FPS\n")
+            f.write("\nFrame Details:\n")
+            f.write("-" * 30 + "\n")
+            for i, frame in enumerate(self.frames):
+                f.write(
+                    f"Frame {i + 1:2d}: {frame.get_num_points():5d} points, "
+                    f"coverage {frame.get_coverage_ratio():.3f}, "
+                    f"density {frame.get_scan_density():.3f}\n"
+                )
+
+    def _export_combined_pointcloud(self, output_dir: Path) -> None:
+        """Combined cloud with per-frame viridis colors (reference: :306-337)."""
+        all_points, all_colors = [], []
+        n_frames = max(len(self.frames), 1)
+        for i, frame in enumerate(self.frames):
+            if len(frame.points) > 0:
+                all_points.append(frame.points)
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                color = plt.cm.viridis(i / n_frames)[:3]
+                all_colors.append(np.tile(color, (len(frame.points), 1)))
+        if not all_points:
+            return
+        write_point_cloud(
+            output_dir / "combined_pointcloud.ply",
+            np.vstack(all_points),
+            colors=np.vstack(all_colors),
+        )
+
+    def _export_combined_pointcloud_with_labels(self, output_dir: Path) -> None:
+        """8-attribute labeled export (reference: :339-377)."""
+        all_points, all_colors, all_sem, all_ins = [], [], [], []
+        for frame in self.frames:
+            if len(frame.points) > 0:
+                all_points.append(frame.points)
+                colors, sem, ins = self._get_colors_and_labels_from_s3dis(frame.points)
+                all_colors.append(colors)
+                all_sem.append(sem)
+                all_ins.append(ins)
+        if not all_points:
+            return
+        combined_points = np.vstack(all_points)
+        combined_colors = np.vstack(all_colors)
+        combined_sem = np.concatenate(all_sem)
+        combined_ins = np.concatenate(all_ins)
+        colors_255 = (combined_colors * 255).astype(np.uint8)
+        write_labeled_ply(
+            output_dir / "combined_pointcloud_with_label.ply",
+            combined_points,
+            colors_255,
+            combined_sem,
+            combined_ins,
+        )
+
+    # ------------------------------------------------------------------
+    def _get_colors_and_labels_from_s3dis(self, points: np.ndarray):
+        """1-NN transfer of (rgb, sem, ins) from the TLS cloud to simulated
+        points (reference: :379-427 — sklearn BallTree replaced by the tiled
+        on-device argmin in ipcgen_tpu.ops.knn)."""
+        if not self.s3dis_data_root or not self.area or not self.room:
+            return self._get_default_colors_and_labels(len(points))
+
+        if self._s3dis_cache is None:
+            try:
+                (
+                    s3dis_points,
+                    s3dis_colors,
+                    s3dis_labels,
+                    s3dis_instances,
+                ) = self._load_s3dis_annotations_with_colors()
+                if s3dis_points is None or len(s3dis_points) == 0:
+                    return self._get_default_colors_and_labels(len(points))
+                self._s3dis_cache = {
+                    "points": s3dis_points,
+                    "colors": s3dis_colors,
+                    "labels": s3dis_labels,
+                    "instances": s3dis_instances,
+                }
+            except Exception:
+                return self._get_default_colors_and_labels(len(points))
+
+        try:
+            from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+            idx = nearest_neighbor_indices(
+                np.asarray(points, dtype=np.float32),
+                np.asarray(self._s3dis_cache["points"], dtype=np.float32),
+            )
+            colors = self._s3dis_cache["colors"][idx]
+            semantic_labels = self._s3dis_cache["labels"][idx]
+            instance_labels = self._s3dis_cache["instances"][idx]
+            return colors, semantic_labels, instance_labels
+        except Exception:
+            return self._get_default_colors_and_labels(len(points))
+
+    def _load_s3dis_original_data(self):
+        """Load the raw TLS cloud (xyz + rgb) for color lookup (reference: :429-481)."""
+        if not self.s3dis_data_root or not self.area or not self.room:
+            return None, None
+        import os
+
+        base = f"{self.s3dis_data_root}/{self.area}/{self.room}"
+        candidates = [
+            f"{base}/{self.room}.txt",
+            f"{base}/pointcloud.ply",
+            f"{base}/Area_{self.area}_{self.room}.ply",
+            f"{base}/Area_{self.area}_{self.room}_inst_nostring.ply",
+            f"{base}/Area_{self.area}_{self.room}_inst_nostring.txt",
+        ]
+        path = next((p for p in candidates if os.path.exists(p)), None)
+        if path is None:
+            return None, None
+        try:
+            if path.endswith(".txt"):
+                points, colors = self._load_s3dis_txt_pointcloud(path)
+            else:
+                from ipcgen_tpu.io.ply import read_point_cloud
+
+                points, colors, _ = read_point_cloud(path)
+            if points is None or len(points) == 0:
+                return None, None
+            if colors is None:
+                colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
+            return points, colors
+        except Exception:
+            return None, None
+
+    @staticmethod
+    def _load_s3dis_txt_pointcloud(file_path: str):
+        """S3DIS txt: 'x y z r g b [label]' rows (reference: :483-503)."""
+        try:
+            data = np.loadtxt(file_path)
+            if data.ndim != 2 or data.shape[1] < 6:
+                return None, None
+            points = data[:, :3]
+            colors = data[:, 3:6]
+            if colors.max() > 1.0:
+                colors = colors / 255.0
+            return points, colors
+        except Exception:
+            return None, None
+
+    def _load_s3dis_annotations_with_colors(self):
+        """Annotation cloud + 1-NN color match against the raw cloud
+        (reference: :505-544)."""
+        if not self.s3dis_data_root or not self.area or not self.room:
+            return None, None, None, None
+        try:
+            from ipcgen_tpu.semantic.annotations import S3DISAnnotationLoader
+
+            loader = S3DISAnnotationLoader(self.s3dis_data_root, verbose=False)
+            room_annotations = loader.load_room_annotations(self.area, self.room)
+            if not room_annotations:
+                return None, None, None, None
+            points, semantic_labels, instance_labels = (
+                loader.create_labeled_pointcloud_with_instances(room_annotations)
+            )
+            if len(points) == 0:
+                return None, None, None, None
+            original_points, original_colors = self._load_s3dis_original_data()
+            if original_points is None or original_colors is None:
+                colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
+            else:
+                from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+                idx = nearest_neighbor_indices(
+                    np.asarray(points, dtype=np.float32),
+                    np.asarray(original_points, dtype=np.float32),
+                )
+                colors = np.asarray(original_colors)[idx]
+            return points, colors, semantic_labels, instance_labels
+        except Exception:
+            return None, None, None, None
+
+    @staticmethod
+    def _get_default_colors_and_labels(num_points: int):
+        """Gray colors + zero labels fallback (reference: :575-584)."""
+        colors = np.ones((num_points, 3), dtype=np.float32) * 0.5
+        semantic_labels = np.zeros(num_points, dtype=np.uint16)
+        instance_labels = np.zeros(num_points, dtype=np.uint16)
+        return colors, semantic_labels, instance_labels
+
+    def _decode_colors_to_labels(self, colors: np.ndarray):
+        """Decode colors to (sem, ins) labels (reference: :586-612)."""
+        try:
+            from ipcgen_tpu.semantic.annotations import S3DISColorEncoder
+
+            encoder = S3DISColorEncoder(verbose=False)
+            return encoder.decode_colors_to_labels_and_instances(colors)
+        except Exception:
+            z = np.zeros(len(colors), dtype=np.uint16)
+            return z, z.copy()
+
+    # ------------------------------------------------------------------
+    def filter_frames_by_quality(
+        self, min_coverage: float = 0.0, max_coverage: float = 1.0
+    ) -> "S3DISSimScene":
+        filtered = [
+            f for f in self.frames if min_coverage <= f.get_coverage_ratio() <= max_coverage
+        ]
+        out = S3DISSimScene(self.scene_name, self.simulation_config)
+        out.frames = filtered
+        return out
+
+    def get_best_frames(
+        self, num_frames: int = 10, quality_metric: str = "coverage"
+    ) -> List[S3DISSimFrame]:
+        keys = {
+            "coverage": lambda f: f.get_coverage_ratio(),
+            "points": lambda f: f.get_num_points(),
+            "density": lambda f: f.get_scan_density(),
+        }
+        if quality_metric not in keys:
+            raise ValueError(f"Unsupported quality metric: {quality_metric}")
+        return sorted(self.frames, key=keys[quality_metric], reverse=True)[:num_frames]
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "scene_name": self.scene_name,
+            "simulation_config": self.simulation_config,
+            "frames": [f.to_dict() for f in self.frames],
+            "statistics": self.statistics.to_dict() if self.statistics else None,
+        }
+
+    @classmethod
+    def from_dict(cls, scene_dict: Dict[str, Any]) -> "S3DISSimScene":
+        sim_scene = cls(
+            scene_name=scene_dict["scene_name"],
+            simulation_config=scene_dict.get("simulation_config", {}),
+        )
+        for frame_dict in scene_dict["frames"]:
+            sim_scene.append_frame(S3DISSimFrame.from_dict(frame_dict))
+        if scene_dict.get("statistics"):
+            sim_scene.statistics = SimulationStats(**scene_dict["statistics"])
+        return sim_scene
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return (
+            f"S3DISSimScene(name='{self.scene_name}', frames={self.get_total_frames()}, "
+            f"points={self.get_total_points()}, "
+            f"avg_coverage={self.get_average_coverage():.3f})"
+        )

@@ -1,0 +1,371 @@
+"""S3DIS annotation loading + per-class/instance color codec.
+
+API-parity rewrite of reference s3dis_annotation_loader.py:13-621, with the
+reference bugs resolved rather than copied: ``_generate_basic_colors`` (called
+at reference :542 et al. but never defined there) exists here, the per-point
+Python encode/decode loops are vectorized, and sklearn's BallTree is replaced
+by the tiled on-device 1-NN (ipcgen_tpu.ops.knn).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# S3DIS class -> LiDAR-Net class (reference: s3dis_annotation_loader.py:33-45)
+CLASS_MAPPING = {
+    "floor": "floor",
+    "ceiling": "ceiling",
+    "wall": "wall",
+    "window": "window",
+    "table": "table",
+    "chair": "chair",
+    "sofa": "sofa",
+    "bookcase": "bookshelf",
+    "board": "blackboard",
+    "stairs": "stair",
+}
+
+# Canonical S3DIS 13-class id table (reference: :51-65)
+S3DIS_CLASS_IDS = {
+    "ceiling": 0,
+    "floor": 1,
+    "wall": 2,
+    "beam": 3,
+    "column": 4,
+    "window": 5,
+    "door": 6,
+    "table": 7,
+    "chair": 8,
+    "sofa": 9,
+    "bookcase": 10,
+    "board": 11,
+    "clutter": 12,
+}
+
+
+class S3DISAnnotationLoader:
+    """Loads per-instance S3DIS annotation txt files into labeled clouds."""
+
+    def __init__(self, data_root: str, verbose: bool = True):
+        self.data_root = data_root
+        self.class_mapping = dict(CLASS_MAPPING)
+        self.valid_classes = list(self.class_mapping.keys())
+        self.s3dis_class_ids = dict(S3DIS_CLASS_IDS)
+        self.verbose = verbose
+        if verbose:
+            print("[AnnotationLoader] Initialized.")
+            print(f"  - Data root: {data_root}")
+            print(f"  - Valid classes: {len(self.valid_classes)}")
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+
+    def load_room_annotations(self, area: str, room: str) -> Dict[str, np.ndarray]:
+        """Load ``Annotations/{class}_*.txt`` per instance (reference: :72-110).
+
+        Returns a dict mapping instance names ("chair_1") to (N, 3) points.
+        """
+        annotation_dir = os.path.join(self.data_root, area, room, "Annotations")
+        if not os.path.exists(annotation_dir):
+            raise FileNotFoundError(f"Annotation directory missing: {annotation_dir}")
+
+        room_annotations: Dict[str, np.ndarray] = {}
+        for class_name in self.valid_classes:
+            pattern = os.path.join(annotation_dir, f"{class_name}_*.txt")
+            annotation_files = sorted(glob.glob(pattern))
+            for i, file_path in enumerate(annotation_files):
+                points = self._load_annotation_file(file_path)
+                if len(points) > 0:
+                    room_annotations[f"{class_name}_{i + 1}"] = points
+        return room_annotations
+
+    def _load_annotation_file(self, file_path: str) -> np.ndarray:
+        """Tolerant parse of 'x y z [r g b ...]' rows (reference: :112-142)."""
+        try:
+            try:
+                data = np.loadtxt(file_path, usecols=(0, 1, 2), comments="#", ndmin=2)
+                return data[:, :3].astype(np.float64)
+            except Exception:
+                pass
+            # Row-tolerant fallback for malformed lines.
+            points = []
+            with open(file_path, "r") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    coords = line.split()
+                    if len(coords) >= 3:
+                        try:
+                            points.append(
+                                [float(coords[0]), float(coords[1]), float(coords[2])]
+                            )
+                        except ValueError:
+                            continue
+            return np.array(points) if points else np.zeros((0, 3))
+        except Exception as e:  # pragma: no cover - IO edge case
+            self._log(f"    - Warning: failed to load {file_path}: {e}")
+            return np.zeros((0, 3))
+
+    def create_labeled_pointcloud(
+        self, room_annotations: Dict[str, np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Merge instances into (points, semantic labels) (reference: :144-176)."""
+        all_points, all_labels = [], []
+        for instance_name, points in room_annotations.items():
+            if len(points) == 0:
+                continue
+            class_name = instance_name.split("_")[0] if "_" in instance_name else instance_name
+            class_id = self.s3dis_class_ids.get(class_name, -1)
+            if class_id >= 0:
+                all_points.append(points)
+                all_labels.append(np.full(len(points), class_id, dtype=np.int32))
+        if not all_points:
+            return np.zeros((0, 3)), np.array([], dtype=np.int32)
+        return np.vstack(all_points), np.concatenate(all_labels)
+
+    def create_labeled_pointcloud_with_instances(
+        self, room_annotations: Dict[str, np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Merge instances into (points, labels, instance ids) (reference: :178-245)."""
+        all_points, all_labels, all_instances = [], [], []
+        for instance_name, points in room_annotations.items():
+            if len(points) == 0:
+                continue
+            class_name = instance_name.split("_")[0] if "_" in instance_name else instance_name
+            class_id = self.s3dis_class_ids.get(class_name, -1)
+            if class_id < 0:
+                continue
+            if "_" in instance_name:
+                try:
+                    instance_id = int(instance_name.split("_")[-1])
+                except ValueError:
+                    instance_id = 1
+            else:
+                instance_id = 1
+            all_points.append(points)
+            all_labels.append(np.full(len(points), class_id, dtype=np.int32))
+            all_instances.append(np.full(len(points), instance_id, dtype=np.int32))
+        if not all_points:
+            return (
+                np.zeros((0, 3)),
+                np.array([], dtype=np.int32),
+                np.array([], dtype=np.int32),
+            )
+        return (
+            np.vstack(all_points),
+            np.concatenate(all_labels),
+            np.concatenate(all_instances),
+        )
+
+    def filter_valid_labels(self, labels: np.ndarray) -> np.ndarray:
+        """Set labels outside the mapped class set to -1 (reference: :247-270)."""
+        valid_class_ids = [
+            self.s3dis_class_ids[c] for c in self.valid_classes if c in self.s3dis_class_ids
+        ]
+        valid_mask = np.isin(labels, valid_class_ids)
+        filtered = labels.copy()
+        filtered[~valid_mask] = -1
+        return filtered
+
+
+class S3DISColorEncoder:
+    """Class + instance -> RGB codec (reference: s3dis_annotation_loader.py:273-470).
+
+    Encoding: per-class base RGB with the instance id added onto the blue
+    channel; decoding finds the Manhattan-nearest base color on (R, G) and
+    recovers the instance from the blue offset.
+    """
+
+    def __init__(self, verbose: bool = True):
+        self.class_base_colors = {
+            "floor": [100, 50, 25],
+            "ceiling": [200, 200, 200],
+            "wall": [150, 150, 150],
+            "window": [50, 150, 200],
+            "table": [100, 50, 25],
+            "chair": [200, 50, 50],
+            "sofa": [150, 50, 150],
+            "bookcase": [50, 100, 50],
+            "board": [25, 25, 25],
+            "stairs": [200, 150, 50],
+        }
+        self.id_to_class = {
+            1: "floor",
+            0: "ceiling",
+            2: "wall",
+            5: "window",
+            7: "table",
+            8: "chair",
+            9: "sofa",
+            10: "bookcase",
+            11: "board",
+        }
+        self.class_to_id = {v: k for k, v in self.id_to_class.items()}
+        self.max_instances_per_class = 20
+        self.instance_step = 1
+        self.verbose = verbose
+
+        # Vectorization tables
+        self._class_names = list(self.class_base_colors.keys())
+        self._base_rgb = np.array(
+            [self.class_base_colors[c] for c in self._class_names], dtype=np.int32
+        )
+        max_id = max(self.id_to_class.keys())
+        self._id_to_rgb = np.zeros((max_id + 1, 3), dtype=np.float32)
+        self._id_valid = np.zeros(max_id + 1, dtype=bool)
+        for cid, cname in self.id_to_class.items():
+            self._id_to_rgb[cid] = np.array(self.class_base_colors[cname]) / 255.0
+            self._id_valid[cid] = True
+
+    def encode_labels_to_colors(self, labels: np.ndarray) -> np.ndarray:
+        """Semantic-only encoding (reference: :317-349), vectorized."""
+        labels = np.asarray(labels)
+        colors = np.zeros((len(labels), 3), dtype=np.float32)
+        in_range = (labels >= 0) & (labels < len(self._id_valid))
+        safe = np.where(in_range, labels, 0)
+        valid = in_range & self._id_valid[safe]
+        colors[valid] = self._id_to_rgb[safe[valid]]
+        return colors
+
+    def encode_labels_and_instances_to_colors(
+        self, labels: np.ndarray, instances: np.ndarray
+    ) -> np.ndarray:
+        """Class color + instance id folded into blue (reference: :351-404)."""
+        labels = np.asarray(labels)
+        instances = np.asarray(instances)
+        colors = self.encode_labels_to_colors(labels)
+        in_range = (labels >= 0) & (labels < len(self._id_valid))
+        safe = np.where(in_range, labels, 0)
+        valid = in_range & self._id_valid[safe]
+        inst = np.clip(
+            np.where(instances >= 0, instances, 0), 0, self.max_instances_per_class - 1
+        )
+        colors[valid, 2] = colors[valid, 2] + inst[valid].astype(np.float32) / 255.0
+        return colors
+
+    def decode_colors_to_labels_and_instances(self, colors: np.ndarray):
+        """Inverse of the encoder (reference: :406-454), vectorized."""
+        colors = np.asarray(colors)
+        c255 = (colors * 255).astype(np.int32)
+        # Manhattan distance on (R, G) only — the blue channel carries the
+        # instance offset (reference :429-431).
+        d = np.abs(c255[:, None, 0] - self._base_rgb[None, :, 0]) + np.abs(
+            c255[:, None, 1] - self._base_rgb[None, :, 1]
+        )
+        best = np.argmin(d, axis=1)
+        labels = np.array(
+            [self.class_to_id.get(self._class_names[b], -1) for b in best],
+            dtype=np.int32,
+        )
+        base_b = self._base_rgb[best, 2]
+        instances = np.clip(c255[:, 2] - base_b, 0, self.max_instances_per_class - 1)
+        instances = instances.astype(np.int32)
+        instances[labels < 0] = -1
+        return labels, instances
+
+    def _generate_basic_colors(self, points: np.ndarray) -> np.ndarray:
+        """Height-gradient fallback colors when no annotations are available.
+
+        (Called but never defined in the reference —
+        s3dis_annotation_loader.py:542 et al.; implemented here.)
+        """
+        points = np.asarray(points)
+        if len(points) == 0:
+            return np.zeros((0, 3), dtype=np.float32)
+        z = points[:, 2]
+        zr = z.max() - z.min()
+        t = (z - z.min()) / zr if zr > 0 else np.zeros_like(z)
+        colors = np.stack([0.3 + 0.4 * t, 0.3 + 0.4 * (1 - t), np.full_like(t, 0.5)], axis=1)
+        return colors.astype(np.float32)
+
+    def _assign_colors_to_points(self, input_points, annotation_points, annotation_values):
+        """1-NN transfer (reference: :456-470; BallTree -> ops.knn).
+
+        ``annotation_values`` may be labels (1-D, then encoded to colors) or
+        already-encoded colors (2-D, passed through) — resolving the
+        reference's ambiguity at :603 where colors were passed where labels
+        were expected.
+        """
+        from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+        idx = nearest_neighbor_indices(
+            np.asarray(input_points, dtype=np.float32),
+            np.asarray(annotation_points, dtype=np.float32),
+        )
+        values = np.asarray(annotation_values)[idx]
+        if values.ndim == 1:
+            return self.encode_labels_to_colors(values)
+        return values
+
+
+# ---------------------------------------------------------------------------
+# Module-level helpers (reference: s3dis_annotation_loader.py:473-616)
+# ---------------------------------------------------------------------------
+
+def load_s3dis_room_labels(
+    data_root: str, area: str, room: str, verbose: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load (points, filtered labels, colors) for one room (reference: :473-516)."""
+    loader = S3DISAnnotationLoader(data_root, verbose=verbose)
+    encoder = S3DISColorEncoder(verbose=verbose)
+    try:
+        room_annotations = loader.load_room_annotations(area, room)
+        if not room_annotations:
+            return np.zeros((0, 3)), np.array([], dtype=np.int32), np.zeros((0, 3))
+        points, labels = loader.create_labeled_pointcloud(room_annotations)
+        if len(points) == 0:
+            return np.zeros((0, 3)), np.array([], dtype=np.int32), np.zeros((0, 3))
+        filtered_labels = loader.filter_valid_labels(labels)
+        colors = encoder.encode_labels_to_colors(filtered_labels)
+        return points, filtered_labels, colors
+    except Exception:
+        return np.zeros((0, 3)), np.array([], dtype=np.int32), np.zeros((0, 3))
+
+
+def get_semantic_colors_from_points(
+    points: np.ndarray, data_root: str, area: str, room: str, verbose: bool = False
+) -> np.ndarray:
+    """Semantic colors per input point via 1-NN (reference: :519-564)."""
+    encoder = S3DISColorEncoder(verbose=verbose)
+    try:
+        loader = S3DISAnnotationLoader(data_root, verbose=verbose)
+        room_annotations = loader.load_room_annotations(area, room)
+        if not room_annotations:
+            return encoder._generate_basic_colors(points)
+        annotation_points, labels = loader.create_labeled_pointcloud(room_annotations)
+        if len(annotation_points) == 0:
+            return encoder._generate_basic_colors(points)
+        filtered_labels = loader.filter_valid_labels(labels)
+        return encoder._assign_colors_to_points(points, annotation_points, filtered_labels)
+    except Exception:
+        return encoder._generate_basic_colors(points)
+
+
+def get_semantic_colors_with_instances_from_points(
+    points: np.ndarray, data_root: str, area: str, room: str, verbose: bool = False
+) -> np.ndarray:
+    """Semantic + instance colors per input point via 1-NN (reference: :567-616)."""
+    encoder = S3DISColorEncoder(verbose=verbose)
+    try:
+        loader = S3DISAnnotationLoader(data_root, verbose=verbose)
+        room_annotations = loader.load_room_annotations(area, room)
+        if not room_annotations:
+            return encoder._generate_basic_colors(points)
+        annotation_points, labels, instances = (
+            loader.create_labeled_pointcloud_with_instances(room_annotations)
+        )
+        if len(annotation_points) == 0:
+            return encoder._generate_basic_colors(points)
+        filtered_labels = loader.filter_valid_labels(labels)
+        annotation_colors = encoder.encode_labels_and_instances_to_colors(
+            filtered_labels, instances
+        )
+        return encoder._assign_colors_to_points(points, annotation_points, annotation_colors)
+    except Exception:
+        return encoder._generate_basic_colors(points)

@@ -1,0 +1,32 @@
+"""Test harness configuration.
+
+Runs everything on a virtual 8-device CPU platform so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4: multi-chip tests via
+``xla_force_host_platform_device_count``).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def box_room():
+    """A simple closed 4m x 3m x 2.5m room with inward-facing walls."""
+    from ipcgen_tpu.containers import TriMesh
+
+    return TriMesh.box(center=(2.0, 1.5, 1.25), size=(4.0, 3.0, 2.5), inward=True)
