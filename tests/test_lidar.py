@@ -133,7 +133,9 @@ def test_get_rays_world_transform():
     rays = lidar.get_rays()
     assert rays.shape == (16000, 6)
     assert rays.dtype == np.float32
-    np.testing.assert_allclose(rays[:, :3], [1.0, 2.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(
+        rays[:, :3], np.tile([1.0, 2.0, 0.5], (len(rays), 1)), atol=1e-6
+    )
     # Directions stay unit-length after rotation
     np.testing.assert_allclose(np.linalg.norm(rays[:, 3:], axis=1), 1.0, atol=1e-5)
     # Yaw of pi/2 maps sensor +x to world +y
