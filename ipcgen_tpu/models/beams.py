@@ -176,7 +176,7 @@ def rays_to_world(dirs: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def dirs_to_world_batch(dirs: jnp.ndarray, poses: jnp.ndarray) -> jnp.ndarray:
     """(W, N, 3) world directions for a batch of poses (the fused multi-
-    waypoint path: one shared beam pattern, per-waypoint rotations)."""
+    waypoint path: per-waypoint beam patterns and rotations)."""
     return jnp.einsum(
-        "nk,wjk->wnj", dirs, poses[:, :3, :3], precision=jax.lax.Precision.HIGHEST
+        "wnk,wjk->wnj", dirs, poses[:, :3, :3], precision=jax.lax.Precision.HIGHEST
     ).astype(jnp.float32)

@@ -1,0 +1,156 @@
+"""Fused multi-waypoint LiDAR scan pipeline.
+
+The reference's hot loop runs one waypoint at a time, regenerating rays in
+Python and rebuilding the Embree BVH per frame (s3dis_simulator.py:254-288,
+SURVEY.md §3.2).  Here the WHOLE trajectory is one fixed-shape batch: beam
+generation (+ per-waypoint noise/dropout with split PRNG keys), pose
+transforms, and the raycast ride a single device program over the resident
+SceneAsset.  Hits stay masked, never compacted, until host export.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipcgen_tpu.models import beams
+from ipcgen_tpu.models.lidar_intrinsics import (
+    DualAxisLidarIntrinsics,
+    Indoor8LineLidarIntrinsics,
+)
+from ipcgen_tpu.ops.raycast import raycast_asset
+from ipcgen_tpu.ops.scene_asset import SceneAsset
+
+
+class ScanBatch(NamedTuple):
+    """Fixed-shape multi-waypoint scan result (device arrays)."""
+
+    points: jnp.ndarray  # (W, R, 3) world hit points (0 where invalid)
+    t: jnp.ndarray  # (W, R) hit distance, +inf miss
+    mask: jnp.ndarray  # (W, R) valid hit (hit & kept & in range)
+    incident_angles: jnp.ndarray  # (W, R) degrees (reference formula)
+    normals: jnp.ndarray  # (W, R, 3) geometric surface normals
+    true_incidence: jnp.ndarray  # (W, R) degrees from surface normals
+
+    @property
+    def num_waypoints(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def rays_per_scan(self) -> int:
+        return self.points.shape[1]
+
+    def frame_arrays(self, w: int):
+        """Compact one waypoint's hits to numpy (host export)."""
+        m = np.asarray(self.mask[w])
+        return (
+            np.asarray(self.points[w])[m],
+            np.asarray(self.incident_angles[w])[m],
+        )
+
+
+def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
+    """Per-waypoint sensor-frame beam directions + keep masks.
+
+    Static profiles share one pattern across waypoints; the dual-axis scanner
+    re-rolls angle noise and dropout per waypoint (the reference constructs a
+    fresh lidar per waypoint, s3dis_simulator.py:256-257).
+    """
+    if isinstance(intrinsics, DualAxisLidarIntrinsics):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, num_waypoints)
+        n = int(intrinsics.point_rate * intrinsics.scan_duration)
+        gen = lambda k: beams.gen_dual_axis_dirs(
+            k,
+            n,
+            intrinsics.num_vertical_lines,
+            float(intrinsics.theta_range[0]),
+            float(intrinsics.theta_range[1]),
+            float(intrinsics.swing_amplitude),
+            float(intrinsics.swing_frequency),
+            float(intrinsics.angle_noise_std),
+            float(intrinsics.dropout_probability),
+        )
+        dirs, keep = jax.vmap(gen)(keys)  # (W, N, 3), (W, N)
+        return dirs, keep
+    if isinstance(intrinsics, Indoor8LineLidarIntrinsics):
+        if intrinsics.vertical_degrees is None:
+            dirs = beams.gen_uniform_grid_dirs(
+                intrinsics.fov_up,
+                intrinsics.fov_down,
+                intrinsics.vertical_res,
+                intrinsics.horizontal_res,
+            )
+        else:
+            dirs = beams.gen_vertical_degree_dirs(
+                intrinsics.vertical_degrees, intrinsics.horizontal_res
+            )
+        dirs = jnp.broadcast_to(dirs[None], (num_waypoints,) + dirs.shape)
+        keep = jnp.ones(dirs.shape[:2], dtype=bool)
+        return dirs, keep
+    raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
+
+
+def scan_waypoints(
+    asset: SceneAsset,
+    intrinsics,
+    poses: np.ndarray,
+    key: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> ScanBatch:
+    """Scan the scene from every waypoint pose in one fused batch.
+
+    Parameters
+    ----------
+    asset : resident scene acceleration structure.
+    intrinsics : any LiDAR profile from ipcgen_tpu.models.
+    poses : (W, 4, 4) LiDAR poses (Waypoint.to_pose_matrix stack).
+    key : PRNG key for sensor noise / dropout.
+    backend : raycast backend ("auto" | "pallas" | "xla").
+
+    Semantics parity with the reference engine
+    (raycast_engine_cpu.py:75-111): hits beyond ``max_range`` are dropped
+    (strict <) and the "incident angle" output keeps the reference's
+    elevation-based formula degrees(arccos(|dz|)); the true normal-based
+    incidence is additionally provided (SURVEY.md §7).
+    """
+    poses = jnp.asarray(poses, jnp.float32)
+    n_waypoints = poses.shape[0]
+    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
+    dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)  # (W, R, 3)
+    origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
+
+    w, r, _ = dirs_world.shape
+    res = raycast_asset(
+        origins.reshape(w * r, 3),
+        dirs_world.reshape(w * r, 3),
+        asset,
+        backend=backend,
+        t_max=float(intrinsics.max_range),
+    )
+    t = res.t.reshape(w, r)
+    hit = res.hit.reshape(w, r)
+    points = res.points.reshape(w, r, 3)
+    normals = res.normals.reshape(w, r, 3)
+
+    mask = hit & keep & (t < float(intrinsics.max_range))
+    # Reference formula: angle of the (unit) ray direction to vertical,
+    # computed from normalized (point - center) == the ray direction.
+    incident = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0)))
+    incident = jnp.where(mask, incident, 0.0)
+    # True incidence: angle between the ray and the surface normal.
+    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
+    true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
+
+    return ScanBatch(
+        points=jnp.where(mask[..., None], points, 0.0),
+        t=jnp.where(mask, t, jnp.inf),
+        mask=mask,
+        incident_angles=incident,
+        normals=jnp.where(mask[..., None], normals, 0.0),
+        true_incidence=true_incidence,
+    )

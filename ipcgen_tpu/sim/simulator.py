@@ -1,0 +1,540 @@
+"""S3DIS simulation orchestration.
+
+API-parity rewrite of reference s3dis_simulator.py:36-811 over the TPU-native
+stack.  The per-waypoint Python loop (reference :254-288 — fresh lidar object,
+fresh Embree BVH, per-ray Python generation each frame) becomes ONE fused
+device batch: the scene asset is built once at load_scene and the whole
+trajectory is scanned by ipcgen_tpu.sim.scan.scan_waypoints.
+
+Reference bugs resolved rather than copied (SURVEY.md §7):
+- SmartTrajectoryGenerator / PathType exist (trajectory.smart);
+- run_single_scene_simulation's manual branch no longer re-runs the complete
+  simulation with unbound variables (reference :530-550).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ipcgen_tpu.containers import (
+    RoomBounds,
+    S3DISScene,
+    S3DISSimFrame,
+    S3DISSimScene,
+    ScanQuality,
+    TriMesh,
+)
+from ipcgen_tpu.models import (
+    DualAxisLidarIntrinsics,
+    Indoor8LineLidarIntrinsics,
+    create_lidar,
+)
+from ipcgen_tpu.ops.scene_asset import SceneAsset, build_scene_asset
+from ipcgen_tpu.sim.engine import RaycastEngineCPU, RaycastEngineTPU
+from ipcgen_tpu.sim.scan import scan_waypoints
+from ipcgen_tpu.trajectory import (
+    AutoTrajectoryGenerator,
+    CollisionDetector,
+    PathType,
+    SmartTrajectoryGenerator,
+    Waypoint,
+)
+from ipcgen_tpu.trajectory.waypoint import waypoints_to_pose_batch
+
+
+class S3DISSimulator:
+    """High-level simulator orchestrating the full scanning workflow
+    (reference: s3dis_simulator.py:36-444)."""
+
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        use_dense_lidar: bool = False,
+        use_blk2go: bool = False,
+    ):
+        self.config = config
+        self.use_dense_lidar = use_dense_lidar
+        self.use_blk2go = use_blk2go
+        self.scene: Optional[S3DISScene] = None
+        self.scene_asset: Optional[SceneAsset] = None
+        self.lidar_config = None
+        self.raycast_engine = None
+        self.trajectory_generator: Optional[SmartTrajectoryGenerator] = None
+        self.auto_trajectory_generator: Optional[AutoTrajectoryGenerator] = None
+        self.collision_detector: Optional[CollisionDetector] = None
+        self.rng_key = jax.random.PRNGKey(int(config.get("seed", 0)))
+
+        # Visualization utilities (lazy; headless matplotlib)
+        from ipcgen_tpu.viz import (
+            MeshVisualizer,
+            ScanResultVisualizer,
+            TrajectoryVisualizer,
+        )
+
+        self.trajectory_visualizer = TrajectoryVisualizer()
+        self.scan_visualizer = ScanResultVisualizer()
+        self.mesh_visualizer = MeshVisualizer()
+
+        self._initialize_components()
+
+    def _initialize_components(self) -> None:
+        """Select LiDAR profile + engine (reference: :57-78)."""
+        if self.use_blk2go:
+            self.lidar_config = DualAxisLidarIntrinsics.create_blk2go_dual_axis()
+        elif self.use_dense_lidar:
+            self.lidar_config = Indoor8LineLidarIntrinsics.create_dense_32line()
+        else:
+            self.lidar_config = Indoor8LineLidarIntrinsics.create_standard_8line()
+
+        use_gpu = self.config.get("raycast_engine", {}).get("use_gpu", True)
+        if use_gpu:
+            try:
+                self.raycast_engine = RaycastEngineTPU()
+            except Exception:
+                self.raycast_engine = RaycastEngineCPU()
+        else:
+            self.raycast_engine = RaycastEngineCPU()
+        self.collision_detector = CollisionDetector()
+
+    # ------------------------------------------------------------------
+    def load_scene(self, scene_path: str, scene_name: Optional[str] = None) -> S3DISScene:
+        """Load a reconstructed mesh, build the resident scene asset, and
+        prepare trajectory generators (reference: :80-130)."""
+        mesh = TriMesh.load(scene_path)
+        if mesh.num_vertices == 0:
+            raise ValueError(f"Failed to load mesh file: {scene_path}")
+
+        room_bounds_obj = RoomBounds.from_mesh(mesh)
+        if scene_name is None:
+            scene_name = Path(scene_path).stem
+        self.scene = S3DISScene(scene_name, mesh, room_bounds=room_bounds_obj)
+
+        # Built ONCE here; resident in HBM for the whole trajectory (the
+        # reference instead rebuilt its BVH on every cast_rays call).
+        self.scene_asset = build_scene_asset(mesh.vertices, mesh.triangles)
+
+        self.trajectory_generator = SmartTrajectoryGenerator(
+            room_bounds_obj.to_dict(),
+            robot_height=self.config.get("trajectory", {}).get("robot_height", 1.0),
+        )
+        self.auto_trajectory_generator = AutoTrajectoryGenerator(
+            robot_radius=0.15,  # narrow-space default (reference: :128)
+            seed=self.config.get("seed"),
+        )
+        return self.scene
+
+    def generate_auto_trajectory(
+        self, num_waypoints: int = 20
+    ) -> Tuple[List[Waypoint], Dict[str, Any]]:
+        """Coverage-maximizing automatic trajectory (reference: :132-167)."""
+        if self.auto_trajectory_generator is None or self.scene is None:
+            raise ValueError("Scene not loaded. Call load_scene() first.")
+        waypoints, analysis_info = (
+            self.auto_trajectory_generator.generate_optimal_trajectory(
+                mesh=self.scene.room_mesh,
+                room_bounds=self.scene.room_bounds.to_dict(),
+                num_waypoints=num_waypoints,
+            )
+        )
+        return waypoints, analysis_info
+
+    def add_furniture(self, furniture_mesh, name: str, category: str = "unknown") -> None:
+        """Register furniture for planning (reference: :169-179)."""
+        if self.collision_detector is None:
+            raise ValueError("Scene not loaded. Call load_scene() first.")
+        self.collision_detector.add_furniture_from_mesh(furniture_mesh, name, category)
+
+    def generate_trajectory(
+        self,
+        start_point: Tuple[float, float, float],
+        end_point: Tuple[float, float, float],
+        path_type: PathType = PathType.STRAIGHT,
+        num_waypoints: int = 20,
+    ) -> Tuple[List[Waypoint], Dict[str, Any]]:
+        """Manual trajectory between two poses (reference: :180-218)."""
+        if self.trajectory_generator is None:
+            raise ValueError("Scene not loaded. Call load_scene() first.")
+        if self.collision_detector and self.collision_detector.furniture_list:
+            self.trajectory_generator.collision_detector = self.collision_detector
+        waypoints, quality = self.trajectory_generator.generate_trajectory(
+            start_point=start_point,
+            end_point=end_point,
+            path_type=path_type,
+            num_waypoints=num_waypoints,
+        )
+        return waypoints, quality.to_dict()
+
+    # ------------------------------------------------------------------
+    def run_simulation(self, waypoints: List[Waypoint]) -> S3DISSimScene:
+        """Scan every waypoint in one fused device batch (reference loop:
+        :220-296; per-frame quality formulas preserved exactly)."""
+        if self.scene is None or self.scene_asset is None:
+            raise ValueError("Scene not loaded. Call load_scene() first.")
+
+        sim_scene = S3DISSimScene(
+            scene_name=self.scene.scene_name,
+            simulation_config=self.config,
+            mesh=self.scene.room_mesh,
+            s3dis_data_root=self.config.get("s3dis_data_root", None),
+            area=self.config.get("area", None),
+            room=self.config.get("room", None),
+        )
+
+        start_time = time.time()
+        total_points_per_scan = self.lidar_config.get_total_points_per_scan()
+        room_volume = self.scene.room_bounds.get_volume()
+
+        poses = waypoints_to_pose_batch(waypoints)
+        self.rng_key, scan_key = jax.random.split(self.rng_key)
+        batch = scan_waypoints(
+            self.scene_asset,
+            self.lidar_config,
+            poses,
+            key=scan_key,
+            backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
+        )
+        jax.block_until_ready(batch.t)
+
+        for i in range(len(waypoints)):
+            points, incident_angles = batch.frame_arrays(i)
+            # Per-frame quality metrics (reference: :276-284; note the range
+            # stats are norms of the world positions — preserved verbatim).
+            ranges = np.linalg.norm(points, axis=1) if len(points) else np.zeros(0)
+            scan_quality = ScanQuality(
+                coverage_ratio=len(points) / total_points_per_scan,
+                num_points=len(points),
+                incident_angle_mean=(
+                    float(np.mean(incident_angles)) if len(incident_angles) > 0 else 0
+                ),
+                incident_angle_std=(
+                    float(np.std(incident_angles)) if len(incident_angles) > 0 else 0
+                ),
+                scan_density=len(points) / room_volume,
+                range_mean=float(np.mean(ranges)) if len(points) > 0 else 0,
+                range_std=float(np.std(ranges)) if len(points) > 0 else 0,
+            )
+            sim_scene.append_frame(
+                S3DISSimFrame(i, points, incident_angles, scan_quality)
+            )
+
+        simulation_time = time.time() - start_time
+        sim_scene.compute_statistics(simulation_time)
+        return sim_scene
+
+    # ------------------------------------------------------------------
+    def save_results(
+        self,
+        sim_scene: S3DISSimScene,
+        output_dir: Path,
+        waypoints: Optional[List[Waypoint]] = None,
+        save_visualizations: bool = True,
+    ) -> None:
+        """Persist outputs + optional visualizations (reference: :298-364)."""
+        output_dir = Path(output_dir)
+        sim_scene.save_results(output_dir)
+
+        if save_visualizations:
+            vis_dir = output_dir / "visualizations"
+            vis_dir.mkdir(parents=True, exist_ok=True)
+            self.trajectory_visualizer.output_dir = vis_dir
+            self.scan_visualizer.output_dir = vis_dir
+            self.mesh_visualizer.output_dir = vis_dir
+
+            from ipcgen_tpu.viz import S3DISVisualizer, create_visualization_summary
+
+            s3dis_visualizer = S3DISVisualizer(output_dir)
+            if waypoints and self.scene:
+                self.trajectory_visualizer.visualize_trajectory_2d(
+                    waypoints,
+                    self.scene.room_bounds.to_dict(),
+                    title=f"Robot trajectory - {self.scene.scene_name}",
+                )
+                self.trajectory_visualizer.visualize_trajectory_3d(
+                    waypoints,
+                    self.scene.room_bounds.to_dict(),
+                    title=f"Robot trajectory 3D - {self.scene.scene_name}",
+                )
+            self.scan_visualizer.visualize_scan_statistics(sim_scene)
+            self.scan_visualizer.visualize_scan_quality_evolution(sim_scene)
+            self.scan_visualizer.create_scan_summary_report(sim_scene)
+            if self.scene:
+                try:
+                    viz_results = s3dis_visualizer.generate_all_visualizations(
+                        sim_scene, self.scene, num_sample_frames=5
+                    )
+                    create_visualization_summary(viz_results, output_dir)
+                except Exception:
+                    pass
+
+    # ------------------------------------------------------------------
+    def run_complete_simulation(
+        self,
+        scene_path: str,
+        start_point: Tuple[float, float, float],
+        end_point: Tuple[float, float, float],
+        path_type: PathType = PathType.STRAIGHT,
+        num_waypoints: int = 20,
+        output_dir: Optional[Path] = None,
+        scene_name: Optional[str] = None,
+    ) -> S3DISSimScene:
+        """Load -> manual trajectory -> simulate -> save (reference: :366-405)."""
+        self.load_scene(scene_path, scene_name)
+        waypoints, _trajectory_quality = self.generate_trajectory(
+            start_point, end_point, path_type, num_waypoints
+        )
+        sim_scene = self.run_simulation(waypoints)
+        if output_dir is None:
+            output_dir = Path("s3dis_simulation_results")
+        self.save_results(sim_scene, output_dir, waypoints)
+        return sim_scene
+
+    def run_auto_simulation(
+        self,
+        scene_path: str,
+        num_waypoints: int = 20,
+        output_dir: Optional[Path] = None,
+        scene_name: Optional[str] = None,
+    ) -> S3DISSimScene:
+        """Load -> auto trajectory -> simulate -> save (reference: :407-444)."""
+        self.load_scene(scene_path, scene_name)
+        waypoints, analysis_info = self.generate_auto_trajectory(num_waypoints)
+        sim_scene = self.run_simulation(waypoints)
+        if output_dir is None:
+            output_dir = Path("s3dis_auto_simulation_results")
+        output_dir = Path(output_dir)
+        self.save_results(sim_scene, output_dir, waypoints)
+        analysis_file = output_dir / "trajectory_analysis.json"
+        with open(analysis_file, "w", encoding="utf-8") as f:
+            json.dump(analysis_info, f, indent=2, ensure_ascii=False)
+        return sim_scene
+
+
+# ---------------------------------------------------------------------------
+# Module-level helpers (reference: s3dis_simulator.py:447-811)
+# ---------------------------------------------------------------------------
+
+def load_config(config_path: str) -> Dict[str, Any]:
+    """Load a YAML configuration file (reference: :447-454)."""
+    import yaml
+
+    with open(config_path, "r", encoding="utf-8") as f:
+        return yaml.safe_load(f)
+
+
+def load_default_config() -> Dict[str, Any]:
+    """Default simulator configuration (the reference pointed at a missing
+    configs/default_config.yaml, :457-460; here the default ships)."""
+    config_path = Path(__file__).resolve().parents[2] / "configs" / "default_config.yaml"
+    if config_path.exists():
+        return load_config(str(config_path))
+    return {"raycast_engine": {"use_gpu": True}, "trajectory": {"robot_height": 1.0}}
+
+
+def create_simulator_from_config(config_path: Optional[str] = None) -> S3DISSimulator:
+    """Simulator from a config file (reference: :463-479)."""
+    config = load_default_config() if config_path is None else load_config(config_path)
+    return S3DISSimulator(config)
+
+
+def run_single_scene_simulation(
+    scene_path: str,
+    scene_name: Optional[str] = None,
+    num_waypoints: int = 20,
+    output_base_dir: str = "simulation_results",
+    use_gpu: bool = True,
+    robot_height: float = 1.0,
+    use_dense_lidar: bool = False,
+    use_blk2go: bool = True,
+    enable_mesh_visualization: bool = False,
+    use_auto_trajectory: bool = True,
+    s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
+    area: Optional[str] = None,
+    room: Optional[str] = None,
+    seed: int = 0,
+    save_visualizations: bool = True,
+) -> S3DISSimScene:
+    """Process a single scene end-to-end (reference: :482-553; the dead
+    manual-trajectory fallthrough bug at :530-550 is fixed — each branch runs
+    exactly one simulation)."""
+    if scene_name is None:
+        scene_name = Path(scene_path).parent.name
+    output_dir = Path(output_base_dir) / scene_name
+    config = {
+        "raycast_engine": {"use_gpu": use_gpu},
+        "trajectory": {"robot_height": robot_height},
+        "enable_mesh_visualization": enable_mesh_visualization,
+        "s3dis_data_root": s3dis_data_root,
+        "area": area,
+        "room": room,
+        "seed": seed,
+    }
+    simulator = S3DISSimulator(
+        config, use_dense_lidar=use_dense_lidar, use_blk2go=use_blk2go
+    )
+    if use_auto_trajectory:
+        print(f"[Simulation] Using auto-generated trajectory for {scene_name}.")
+        sim_scene = simulator.run_auto_simulation(
+            scene_path=scene_path, num_waypoints=num_waypoints, output_dir=output_dir
+        )
+    else:
+        print(f"[Simulation] Using manual trajectory for {scene_name}.")
+        simulator.load_scene(scene_path, scene_name)
+        bounds = simulator.scene.room_bounds
+        center = bounds.get_center()
+        size = bounds.get_size()
+        start_point = (center[0] - size[0] * 0.25, center[1], robot_height)
+        end_point = (center[0] + size[0] * 0.25, center[1], robot_height)
+        waypoints, _ = simulator.generate_trajectory(
+            start_point, end_point, PathType.STRAIGHT, num_waypoints
+        )
+        sim_scene = simulator.run_simulation(waypoints)
+        simulator.save_results(
+            sim_scene, output_dir, waypoints, save_visualizations=save_visualizations
+        )
+    print(f"[Simulation] Scene {scene_name} completed.")
+    return sim_scene
+
+
+def find_available_scenes(
+    reconstruction_dir: str = "outputs/s3dis_reconstruction/reconstruction_results",
+) -> List[Tuple[str, str, str]]:
+    """Discover reconstructed scene meshes (reference: :556-591)."""
+    reconstruction_path = Path(reconstruction_dir)
+    if not reconstruction_path.exists():
+        print(f"[Discovery] Reconstruction directory not found: {reconstruction_dir}")
+        return []
+    available_scenes = []
+    for scene_dir in sorted(reconstruction_path.iterdir()):
+        if scene_dir.is_dir():
+            mesh_files = sorted(scene_dir.glob("mesh_*.ply"))
+            if mesh_files:
+                dense_mesh = scene_dir / "mesh_dense.ply"
+                mesh_path = str(dense_mesh) if dense_mesh.exists() else str(mesh_files[0])
+                scene_name = scene_dir.name
+                available_scenes.append((mesh_path, scene_name, scene_name))
+                print(f"[Discovery] Found scene {scene_name}: {mesh_path}")
+    print(f"[Discovery] Total scenes discovered: {len(available_scenes)}")
+    return available_scenes
+
+
+def main(
+    reconstruction_dir: str = "outputs/s3dis_reconstruction/reconstruction_results",
+    num_waypoints: int = 20,
+    output_base_dir: str = "simulation_results",
+    use_gpu: bool = True,
+    robot_height: float = 1.0,
+    use_dense_lidar: bool = False,
+    use_blk2go: bool = True,
+    use_auto_trajectory: bool = True,
+    s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
+) -> Dict[str, Any]:
+    """Batch entry point over all reconstructed scenes (reference: :594-726)
+    with the same skip/resume semantics: a scene is skipped when BOTH the
+    labeled PLY and the statistics txt exist; partially-written scenes rerun
+    (reference: :643-655)."""
+    print("=== S3DIS batch simulation ===")
+    available_scenes = find_available_scenes(reconstruction_dir)
+    if not available_scenes:
+        print("[Batch] No scenes found. Verify the reconstruction directory.")
+        return {"successful": [], "failed": [], "skipped": []}
+
+    successful_scenes, failed_scenes, skipped_scenes = [], [], []
+    start_time = time.time()
+    for i, (scene_path, scene_name, area_room) in enumerate(available_scenes, 1):
+        print(f"[Batch] Processing scene {i}/{len(available_scenes)}: {scene_name}")
+        scene_output_dir = Path(output_base_dir) / scene_name
+        ply_file = scene_output_dir / "combined_pointcloud_with_label.ply"
+        stats_file = scene_output_dir / "simulation_statistics.txt"
+        if ply_file.exists() and stats_file.exists():
+            print(f"[Batch] Scene {scene_name} already processed. Skipping.")
+            skipped_scenes.append(scene_name)
+            continue
+        elif ply_file.exists() or stats_file.exists():
+            print(f"[Batch] Scene {scene_name} partially processed. Re-running.")
+        try:
+            # Extract area/room identifiers (reference: :658-667)
+            if "_" in area_room:
+                parts = area_room.split("_")
+                if len(parts) >= 3 and parts[0] == "Area":
+                    area = f"{parts[0]}_{parts[1]}"
+                    room = "_".join(parts[2:])
+                else:
+                    area, room = area_room.split("_", 1)
+            else:
+                area, room = area_room, area_room
+            sim_scene = run_single_scene_simulation(
+                scene_path=scene_path,
+                scene_name=scene_name,
+                num_waypoints=num_waypoints,
+                output_base_dir=output_base_dir,
+                use_gpu=use_gpu,
+                robot_height=robot_height,
+                use_dense_lidar=use_dense_lidar,
+                use_blk2go=use_blk2go,
+                use_auto_trajectory=use_auto_trajectory,
+                s3dis_data_root=s3dis_data_root,
+                area=area,
+                room=room,
+            )
+            successful_scenes.append((scene_name, sim_scene))
+            print(f"[Batch] Scene {scene_name} succeeded.")
+        except Exception as e:
+            failed_scenes.append((scene_name, str(e)))
+            print(f"[Batch] Scene {scene_name} failed: {e}")
+
+    total_time = time.time() - start_time
+    n = len(available_scenes)
+    print(f"[Batch] Total scenes: {n}")
+    print(f"[Batch] Completed: {len(successful_scenes)}")
+    print(f"[Batch] Skipped: {len(skipped_scenes)}")
+    print(f"[Batch] Failed: {len(failed_scenes)}")
+    print(f"[Batch] Total time: {total_time:.1f}s ({total_time / 60:.1f} min)")
+    if n:
+        print(f"[Batch] Average per scene: {total_time / n:.1f}s")
+        rooms_per_hour = len(successful_scenes) / total_time * 3600 if total_time > 0 else 0
+        print(f"[Batch] Throughput: {rooms_per_hour:.1f} rooms/hour")
+    return {
+        "successful": successful_scenes,
+        "failed": failed_scenes,
+        "skipped": skipped_scenes,
+        "total_time": total_time,
+    }
+
+
+def main_single(
+    scene_path: str = (
+        "outputs/s3dis_reconstruction/reconstruction_results/Area_1_office_1/"
+        "mesh_dense.ply"
+    ),
+    scene_name: str = "Area_1_office_1",
+    area: str = "Area_1",
+    room: str = "office_1",
+    num_waypoints: int = 20,
+    **kwargs,
+) -> S3DISSimScene:
+    """Single hard-coded scene entry point (reference: :729-807)."""
+    sim_scene = run_single_scene_simulation(
+        scene_path=scene_path,
+        scene_name=scene_name,
+        num_waypoints=num_waypoints,
+        area=area,
+        room=room,
+        **kwargs,
+    )
+    print("[Single] Simulation completed.")
+    if sim_scene and len(sim_scene.frames) > 0:
+        total = sum(len(f.points) for f in sim_scene.frames)
+        print(f"Frames: {len(sim_scene.frames)}")
+        print(f"Total points: {total:,}")
+        print(f"Average points per frame: {total // len(sim_scene.frames):,}")
+    return sim_scene
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""End-to-end simulator tests on a synthetic box room."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ipcgen_tpu.containers import TriMesh
+from ipcgen_tpu.io.ply import read_labeled_ply, read_point_cloud
+from ipcgen_tpu.models import DualAxisLidarIntrinsics, Indoor8LineLidarIntrinsics
+from ipcgen_tpu.ops.scene_asset import build_scene_asset
+from ipcgen_tpu.sim.engine import RaycastEngineCPU
+from ipcgen_tpu.sim.scan import scan_waypoints
+from ipcgen_tpu.sim.simulator import S3DISSimulator
+from ipcgen_tpu.trajectory import PathType, Waypoint
+from ipcgen_tpu.trajectory.waypoint import waypoints_to_pose_batch
+
+
+@pytest.fixture
+def room_ply(tmp_path, box_room):
+    path = tmp_path / "mesh_dense.ply"
+    box_room.save(path)
+    return path
+
+
+def _small_8line():
+    return Indoor8LineLidarIntrinsics(
+        vertical_res=4,
+        horizontal_res=90,
+        vertical_degrees=[10, 0, -10, -20],
+        max_range=20.0,
+    )
+
+
+def test_scan_waypoints_box_room(box_room):
+    asset = build_scene_asset(box_room.vertices, box_room.triangles, block_size=8)
+    intr = _small_8line()
+    wps = [Waypoint(2.0, 1.5, 1.0, 0.0), Waypoint(1.0, 1.0, 1.0, np.pi / 4)]
+    poses = waypoints_to_pose_batch(wps)
+    batch = scan_waypoints(asset, intr, poses, backend="xla")
+    assert batch.points.shape == (2, 360, 3)
+    mask = np.asarray(batch.mask)
+    # Every ray inside a closed box must hit a wall within range
+    assert mask.all()
+    pts = np.asarray(batch.points)
+    # Hits lie on the room's surface planes
+    on_surface = (
+        np.isclose(pts[..., 0], 0.0, atol=1e-3)
+        | np.isclose(pts[..., 0], 4.0, atol=1e-3)
+        | np.isclose(pts[..., 1], 0.0, atol=1e-3)
+        | np.isclose(pts[..., 1], 3.0, atol=1e-3)
+        | np.isclose(pts[..., 2], 0.0, atol=1e-3)
+        | np.isclose(pts[..., 2], 2.5, atol=1e-3)
+    )
+    assert on_surface.all()
+    # Incident angle formula parity: degrees(arccos(|dz|))
+    ang = np.asarray(batch.incident_angles)
+    assert ang.min() >= 0 and ang.max() <= 90
+
+
+def test_scan_matches_engine_loop(box_room):
+    """Fused batch path == per-waypoint engine path (no noise profile)."""
+    from ipcgen_tpu.models import create_lidar
+
+    asset = build_scene_asset(box_room.vertices, box_room.triangles, block_size=8)
+    intr = _small_8line()
+    wp = Waypoint(2.0, 1.5, 1.0, 0.3)
+    batch = scan_waypoints(asset, intr, waypoints_to_pose_batch([wp]), backend="xla")
+    pts_fused, ang_fused = batch.frame_arrays(0)
+
+    engine = RaycastEngineCPU()
+    lidar = create_lidar(intr, wp.to_pose_matrix())
+    pts_loop, ang_loop = engine.lidar_intersect_mesh(lidar, box_room)
+
+    assert len(pts_fused) == len(pts_loop)
+    np.testing.assert_allclose(pts_fused, pts_loop, atol=1e-4)
+    np.testing.assert_allclose(ang_fused, ang_loop, atol=1e-3)
+
+
+def test_dual_axis_scan_dropout(box_room):
+    asset = build_scene_asset(box_room.vertices, box_room.triangles, block_size=8)
+    intr = DualAxisLidarIntrinsics.create_blk2go_dual_axis()
+    intr.point_rate = 32000  # keep the CPU test fast
+    intr.scan_duration = 0.1
+    import jax
+
+    wps = [Waypoint(2.0, 1.5, 1.0, 0.0)]
+    batch = scan_waypoints(
+        asset, intr, waypoints_to_pose_batch(wps), key=jax.random.PRNGKey(0),
+        backend="xla",
+    )
+    mask = np.asarray(batch.mask[0])
+    rate = 1.0 - mask.mean()
+    # Inside a closed room every kept ray hits -> miss rate == dropout rate
+    assert abs(rate - intr.dropout_probability) < 0.01
+
+
+def test_simulator_manual_end_to_end(room_ply, tmp_path):
+    config = {
+        "raycast_engine": {"use_gpu": False, "backend": "xla"},
+        "trajectory": {"robot_height": 1.0},
+        "seed": 0,
+    }
+    sim = S3DISSimulator(config)
+    sim.lidar_config = _small_8line()  # shrink for test speed
+    sim.load_scene(str(room_ply), "box_room")
+    wps, quality = sim.generate_trajectory(
+        (1.0, 1.5, 1.0), (3.0, 1.5, 1.0), PathType.STRAIGHT, num_waypoints=5
+    )
+    assert quality["path_length"] > 0
+    sim_scene = sim.run_simulation(wps)
+    assert sim_scene.get_total_frames() == 5
+    assert sim_scene.get_total_points() == 5 * 360  # closed room: all hits
+    stats = sim_scene.statistics
+    assert stats.frames_per_second > 0
+
+    out = tmp_path / "out"
+    sim.save_results(sim_scene, out, wps, save_visualizations=False)
+    # Reference-format artifacts
+    stats_txt = (out / "simulation_statistics.txt").read_text()
+    assert stats_txt.startswith("Simulation Statistics\n")
+    assert "Total frames: 5" in stats_txt
+    assert (out / "simulation_summary.txt").exists()
+    pts, colors, _ = read_point_cloud(out / "combined_pointcloud.ply")
+    assert len(pts) == 5 * 360
+    lp, lc, sem, ins = read_labeled_ply(out / "combined_pointcloud_with_label.ply")
+    assert len(lp) == 5 * 360
+    # No S3DIS annotations -> default gray colors + zero labels
+    assert np.all(sem == 0) and np.all(ins == 0)
+    assert np.all(lc == 127)
+
+
+def test_simulator_auto_end_to_end(room_ply, tmp_path):
+    config = {
+        "raycast_engine": {"use_gpu": False, "backend": "xla"},
+        "trajectory": {"robot_height": 1.0},
+        "seed": 0,
+    }
+    sim = S3DISSimulator(config)
+    sim.lidar_config = _small_8line()
+    out = tmp_path / "auto_out"
+    sim_scene = sim.run_auto_simulation(str(room_ply), num_waypoints=4, output_dir=out)
+    assert sim_scene.get_total_frames() >= 20  # dense interpolation floor
+    analysis = json.loads((out / "trajectory_analysis.json").read_text())
+    assert analysis["total_candidates"] > 0
+    assert (out / "simulation_statistics.txt").exists()
+    assert (out / "visualizations").exists()
+
+
+def test_engine_caches_asset(box_room):
+    engine = RaycastEngineCPU()
+    a1 = engine.asset_for_mesh(box_room)
+    a2 = engine.asset_for_mesh(box_room)
+    assert a1 is a2
+    engine.clear_cache()
+    assert engine.asset_for_mesh(box_room) is not a1
+
+
+def test_rays_intersect_mesh_contract(box_room):
+    engine = RaycastEngineCPU()
+    rays = np.array(
+        [[2.0, 1.5, 1.0, 1.0, 0.0, 0.0], [2.0, 1.5, 1.0, 0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    pts = engine.rays_intersect_mesh(rays, box_room)
+    assert pts.shape == (2, 3)
+    np.testing.assert_allclose(pts[0], [4.0, 1.5, 1.0], atol=1e-4)
+    np.testing.assert_allclose(pts[1], [2.0, 1.5, 2.5], atol=1e-4)
+    with pytest.raises(ValueError):
+        engine.rays_intersect_mesh(np.zeros((3, 5), np.float32), box_room)
+    with pytest.raises(TypeError):
+        engine.rays_intersect_mesh([[0] * 6], box_room)
