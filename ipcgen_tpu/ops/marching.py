@@ -1,0 +1,214 @@
+"""Isosurface extraction: marching tetrahedra over the fused SDF grid.
+
+Mesh extraction for the reconstruction substitute (the reference calls NKSR's
+CUDA ``extract_dual_mesh``, s3dis_nksr_reconstructor.py:89-90).  Marching
+tetrahedra (each cube split into 6 tets) is chosen over classic marching
+cubes because its 16-entry case table has no ambiguous configurations and
+vectorizes into a handful of gathers — a TPU-shaped program:
+
+  pass 1 (device): classify all cubes (valid 8-corner stencil + mixed signs);
+  pass 2 (host):   compact the active cube list (tiny);
+  pass 3 (device): batched edge interpolation + case-table gather over the
+                   padded active set -> fixed-shape triangle soup + mask.
+
+Vertex welding and normal orientation happen on the host afterwards
+(ipcgen_tpu.recon.reconstructor).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipcgen_tpu.ops.sdf import SdfGrid
+
+# Cube corner offsets, standard ordering
+_CORNERS = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    dtype=np.int32,
+)
+
+# 6-tetrahedra decomposition around the 0-6 diagonal
+_TETS = np.array(
+    [
+        [0, 5, 1, 6],
+        [0, 1, 2, 6],
+        [0, 2, 3, 6],
+        [0, 3, 7, 6],
+        [0, 7, 4, 6],
+        [0, 4, 5, 6],
+    ],
+    dtype=np.int32,
+)
+
+# The 6 edges of a tetrahedron as (corner, corner) local indices
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int32
+)
+
+# Case table: for each 4-bit inside mask, up to 2 triangles of tet-edge ids
+# (-1 padding).  Winding is normalized numerically afterwards.
+_TET_TRIS = -np.ones((16, 2, 3), dtype=np.int32)
+_TET_TRIS[1, 0] = (0, 1, 2)          # a inside
+_TET_TRIS[2, 0] = (0, 4, 3)          # b
+_TET_TRIS[3] = [(1, 2, 4), (1, 4, 3)]  # a, b
+_TET_TRIS[4, 0] = (1, 3, 5)          # c
+_TET_TRIS[5] = [(0, 2, 5), (0, 5, 3)]  # a, c
+_TET_TRIS[6] = [(0, 4, 5), (0, 5, 1)]  # b, c
+_TET_TRIS[7, 0] = (2, 4, 5)          # a, b, c
+_TET_TRIS[8, 0] = (2, 5, 4)          # d
+_TET_TRIS[9] = [(0, 1, 5), (0, 5, 4)]  # a, d
+_TET_TRIS[10] = [(0, 3, 5), (0, 5, 2)]  # b, d
+_TET_TRIS[11, 0] = (1, 3, 5)         # a, b, d
+_TET_TRIS[12] = [(1, 3, 4), (1, 4, 2)]  # c, d
+_TET_TRIS[13, 0] = (0, 3, 4)         # a, c, d
+_TET_TRIS[14, 0] = (0, 1, 2)         # b, c, d
+
+
+@jax.jit
+def _classify_cubes(sdf: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(X-1, Y-1, Z-1) bool: all 8 corners valid AND signs are mixed."""
+    def corner(a, dx, dy, dz):
+        return a[
+            dx : a.shape[0] - 1 + dx,
+            dy : a.shape[1] - 1 + dy,
+            dz : a.shape[2] - 1 + dz,
+        ]
+
+    all_valid = None
+    any_neg = None
+    any_pos = None
+    for dx, dy, dz in _CORNERS:
+        v = corner(valid, dx, dy, dz)
+        s = corner(sdf, dx, dy, dz)
+        all_valid = v if all_valid is None else (all_valid & v)
+        neg = s < 0
+        any_neg = neg if any_neg is None else (any_neg | neg)
+        any_pos = (~neg) if any_pos is None else (any_pos | (~neg))
+    return all_valid & any_neg & any_pos
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _extract_active(
+    sdf: jnp.ndarray,
+    cube_idx: jnp.ndarray,  # (A, 3) int32 active cube coordinates
+    origin: jnp.ndarray,
+    voxel_size: float,
+):
+    """Triangle soup for active cubes: (A, 12, 3, 3) vertices + (A, 12) mask."""
+    corners = cube_idx[:, None, :] + jnp.asarray(_CORNERS)[None, :, :]  # (A, 8, 3)
+    vals = sdf[corners[..., 0], corners[..., 1], corners[..., 2]]  # (A, 8)
+    pos = origin + (corners.astype(jnp.float32) + 0.5) * voxel_size  # (A, 8, 3)
+
+    tris_out = []
+    mask_out = []
+    tet_tris = jnp.asarray(_TET_TRIS)  # (16, 2, 3)
+    for t in range(6):
+        cidx = _TETS[t]
+        tv = vals[:, cidx]  # (A, 4)
+        tp = pos[:, cidx]  # (A, 4, 3)
+        inside = tv < 0
+        m = (
+            inside[:, 0].astype(jnp.int32)
+            + 2 * inside[:, 1].astype(jnp.int32)
+            + 4 * inside[:, 2].astype(jnp.int32)
+            + 8 * inside[:, 3].astype(jnp.int32)
+        )  # (A,)
+        # All 6 edge crossings (guarded)
+        ea = _TET_EDGES[:, 0]
+        eb = _TET_EDGES[:, 1]
+        va = tv[:, ea]  # (A, 6)
+        vb = tv[:, eb]
+        denom = va - vb
+        tt = jnp.where(jnp.abs(denom) > 1e-12, va / jnp.where(denom == 0, 1, denom), 0.5)
+        tt = jnp.clip(tt, 0.0, 1.0)
+        edge_pts = tp[:, ea] + tt[..., None] * (tp[:, eb] - tp[:, ea])  # (A, 6, 3)
+
+        case = tet_tris[m]  # (A, 2, 3) edge ids (-1 pad)
+        safe = jnp.maximum(case, 0)
+        # Gather the 3 edge vertices of each (up to 2) triangle per tet.
+        verts = edge_pts[jnp.arange(case.shape[0])[:, None, None], safe]  # (A, 2, 3, 3)
+        tri_valid = case[:, :, 0] >= 0  # (A, 2)
+        tris_out.append(verts)
+        mask_out.append(tri_valid)
+
+    tris = jnp.concatenate(tris_out, axis=1)  # (A, 12, 3, 3)
+    mask = jnp.concatenate(mask_out, axis=1)  # (A, 12)
+    return tris, mask
+
+
+def marching_tetrahedra(grid: SdfGrid, min_weight: float = 1e-3,
+                        chunk: int = 65536) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the zero isosurface as a triangle soup.
+
+    Returns
+    -------
+    triangles : (T, 3, 3) float32 corner positions.
+    cube_ids : (T,) int32 flat cube id per emitted triangle.
+    """
+    sdf = grid.sdf
+    valid = grid.valid(min_weight)
+    active_map = np.asarray(_classify_cubes(sdf, valid))
+    ij = np.argwhere(active_map)  # (A, 3)
+    if len(ij) == 0:
+        return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
+
+    all_tris = []
+    all_ids = []
+    origin = jnp.asarray(grid.origin)
+    for s in range(0, len(ij), chunk):
+        part = ij[s : s + chunk]
+        pad = (-len(part)) % 256
+        if pad:
+            part = np.concatenate([part, np.tile(part[-1:], (pad, 1))])
+        tris, mask = _extract_active(
+            sdf, jnp.asarray(part.astype(np.int32)), origin, grid.voxel_size
+        )
+        tris = np.asarray(tris)
+        mask = np.array(mask)  # writable host copy (padding rows cleared below)
+        if pad:
+            mask[len(part) - pad :] = False
+        sel = np.nonzero(mask)
+        all_tris.append(tris[sel])
+        flat_ids = (
+            part[:, 0] * (sdf.shape[1] - 1) * (sdf.shape[2] - 1)
+            + part[:, 1] * (sdf.shape[2] - 1)
+            + part[:, 2]
+        )
+        all_ids.append(flat_ids[sel[0]])
+    return (
+        np.concatenate(all_tris).astype(np.float32),
+        np.concatenate(all_ids).astype(np.int32),
+    )
+
+
+def weld_triangle_soup(
+    triangles: np.ndarray, decimals: int = 5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge duplicated soup vertices into an indexed mesh (host-side)."""
+    if len(triangles) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    flat = triangles.reshape(-1, 3)
+    key = np.round(flat, decimals)
+    uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+    # Use the mean of the original positions per welded vertex for accuracy
+    sums = np.zeros_like(uniq, dtype=np.float64)
+    counts = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inverse, flat)
+    np.add.at(counts, inverse, 1)
+    verts = (sums / counts[:, None]).astype(np.float32)
+    tris = inverse.reshape(-1, 3).astype(np.int32)
+    # Drop degenerate triangles
+    ok = (
+        (tris[:, 0] != tris[:, 1])
+        & (tris[:, 1] != tris[:, 2])
+        & (tris[:, 0] != tris[:, 2])
+    )
+    return verts, tris[ok]

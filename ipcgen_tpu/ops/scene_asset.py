@@ -137,14 +137,19 @@ def build_scene_asset(
     corners = vertices[triangles]  # (T, 3, 3)
     centroids = corners.mean(axis=1)
 
-    # Morton order over quantized centroids
+    # Morton order over quantized centroids (native C++ sorter when built,
+    # numpy fallback otherwise — identical ordering semantics).
+    from ipcgen_tpu.utils import native
+
+    order = native.morton_order(centroids, bits=morton_bits)
     lo = centroids.min(axis=0)
     hi = centroids.max(axis=0)
     extent = np.maximum(hi - lo, 1e-9)
-    scale = (1 << morton_bits) - 1
-    q = np.clip(((centroids - lo) / extent * scale), 0, scale).astype(np.uint64)
-    codes = morton3d(q[:, 0], q[:, 1], q[:, 2], bits=morton_bits)
-    order = np.argsort(codes, kind="stable")
+    if order is None:
+        scale = (1 << morton_bits) - 1
+        q = np.clip(((centroids - lo) / extent * scale), 0, scale).astype(np.uint64)
+        codes = morton3d(q[:, 0], q[:, 1], q[:, 2], bits=morton_bits)
+        order = np.argsort(codes, kind="stable")
 
     corners = corners[order]
     tri_index = order.astype(np.int32)

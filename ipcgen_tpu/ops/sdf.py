@@ -1,0 +1,117 @@
+"""Point+normal -> truncated signed distance field fusion on device.
+
+This is the compute core of the surface-reconstruction substitute for NKSR
+(reference: s3dis_nksr_reconstructor.py:40-90 reconstructs with a CUDA
+library; SURVEY.md §2.3 directs an on-device SDF + mesh-extraction stack with
+the same API).
+
+Method: splatting IMLS.  Every input point contributes, to the voxels in a
+truncation neighborhood around it, the signed distance of the voxel center to
+the point's tangent plane, weighted by a Gaussian in the point-to-voxel
+distance.  Accumulation is a pair of scatter-adds — O(N * k^3) with no
+neighbor search at all, which suits the TPU far better than the KD-tree
+pipelines the reference leans on.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SdfGrid(NamedTuple):
+    """Fused SDF volume."""
+
+    sdf: jnp.ndarray  # (X, Y, Z) float32 signed distances (0 where invalid)
+    weight: jnp.ndarray  # (X, Y, Z) float32 accumulated weights
+    origin: np.ndarray  # (3,) world position of voxel (0,0,0) center
+    voxel_size: float
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self.sdf.shape
+
+    def valid(self, min_weight: float = 1e-3) -> jnp.ndarray:
+        return self.weight > min_weight
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "splat_radius"))
+def _fuse(points, normals, origin, voxel_size, grid_shape, splat_radius: int):
+    nx, ny, nz = grid_shape
+    n_cells = nx * ny * nz
+    inv_v = 1.0 / voxel_size
+    base = jnp.floor((points - origin) * inv_v).astype(jnp.int32)  # (N, 3)
+    sigma2 = (voxel_size * splat_radius) ** 2
+
+    sdf_acc = jnp.zeros((n_cells,), jnp.float32)
+    w_acc = jnp.zeros((n_cells,), jnp.float32)
+
+    offsets = [
+        (dx, dy, dz)
+        for dx in range(-splat_radius, splat_radius + 1)
+        for dy in range(-splat_radius, splat_radius + 1)
+        for dz in range(-splat_radius, splat_radius + 1)
+    ]
+    for off in offsets:
+        vox = base + jnp.array(off, jnp.int32)
+        in_grid = (
+            (vox[:, 0] >= 0) & (vox[:, 0] < nx)
+            & (vox[:, 1] >= 0) & (vox[:, 1] < ny)
+            & (vox[:, 2] >= 0) & (vox[:, 2] < nz)
+        )
+        center = origin + (vox.astype(jnp.float32) + 0.5) * voxel_size
+        d = center - points
+        plane_dist = jnp.sum(d * normals, axis=1)
+        w = jnp.exp(-jnp.sum(d * d, axis=1) / (2.0 * sigma2))
+        w = jnp.where(in_grid, w, 0.0)
+        flat = jnp.clip(vox[:, 0], 0, nx - 1) * (ny * nz) + jnp.clip(
+            vox[:, 1], 0, ny - 1
+        ) * nz + jnp.clip(vox[:, 2], 0, nz - 1)
+        sdf_acc = sdf_acc.at[flat].add(plane_dist * w)
+        w_acc = w_acc.at[flat].add(w)
+
+    sdf = jnp.where(w_acc > 1e-12, sdf_acc / jnp.maximum(w_acc, 1e-12), 0.0)
+    return sdf.reshape(grid_shape), w_acc.reshape(grid_shape)
+
+
+def fuse_point_normal_sdf(
+    points: np.ndarray,
+    normals: np.ndarray,
+    voxel_size: float = 0.03,
+    splat_radius: int = 2,
+    padding_voxels: int = 3,
+) -> SdfGrid:
+    """Fuse an oriented point cloud into a truncated SDF grid.
+
+    Parameters
+    ----------
+    voxel_size : grid resolution (reference config: configs/s3dis_config.yaml
+        voxel 0.03; the reference's hard-coded call used 0.02).
+    splat_radius : truncation radius in voxels around each point.
+    """
+    points = np.asarray(points, dtype=np.float32)
+    normals = np.asarray(normals, dtype=np.float32)
+    if len(points) == 0:
+        raise ValueError("fuse_point_normal_sdf: empty point cloud.")
+    norms = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.maximum(norms, 1e-12)
+
+    lo = points.min(axis=0) - padding_voxels * voxel_size
+    hi = points.max(axis=0) + padding_voxels * voxel_size
+    grid_shape = tuple(
+        int(x) for x in np.maximum(np.ceil((hi - lo) / voxel_size).astype(int) + 1, 2)
+    )
+    sdf, weight = _fuse(
+        jnp.asarray(points),
+        jnp.asarray(normals),
+        jnp.asarray(lo, jnp.float32),
+        float(voxel_size),
+        grid_shape,
+        int(splat_radius),
+    )
+    return SdfGrid(sdf=sdf, weight=weight, origin=lo.astype(np.float32),
+                   voxel_size=float(voxel_size))

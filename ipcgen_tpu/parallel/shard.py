@@ -1,0 +1,265 @@
+"""Sharded multi-chip raycast paths (jax.sharding + shard_map).
+
+The reference has no parallelism of any kind (SURVEY.md §2.4); this module is
+the TPU-native equivalent table made real:
+
+- ray-level / waypoint-level DP : rays of the fused multi-waypoint batch are
+  sharded over the device mesh ("rays" axis); the scene asset is replicated.
+  No collectives on the hot path — each chip intersects its ray shard.
+- mesh sharding ("TP" analog)   : triangle leaf-blocks are sharded over the
+  "tris" axis for scenes exceeding one chip's HBM; each chip computes its
+  partial best hit over all rays and an all_gather + argmin combine (riding
+  ICI) selects the global nearest hit.
+- scene/room DP                 : rooms are embarrassingly parallel — the
+  batch driver simply assigns rooms round-robin; inside a room the two axes
+  above apply.
+
+All paths run on a virtual CPU mesh for testing
+(xla_force_host_platform_device_count) and on real ICI-linked chips unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ipcgen_tpu.ops.raycast import finalize_result
+from ipcgen_tpu.ops.raycast import _raycast_asset_xla_core
+from ipcgen_tpu.ops.scene_asset import SceneAsset
+
+shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+if shard_map is None:  # pragma: no cover - older jax fallback
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_device_mesh(
+    n_devices: Optional[int] = None, axis_names: Tuple[str, ...] = ("rays",)
+) -> Mesh:
+    """1-D (or factored 2-D) device mesh over the first n devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if len(axis_names) == 1:
+        return Mesh(devices.reshape(n_devices), axis_names)
+    # factor n into a near-square 2-D mesh (dp-major)
+    a = int(np.floor(np.sqrt(n_devices)))
+    while n_devices % a:
+        a -= 1
+    shape = (n_devices // a, a)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def _pad_rays(origins: jnp.ndarray, dirs: jnp.ndarray, multiple: int):
+    n = origins.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.full((pad, 3), 1e8, jnp.float32)], axis=0
+        )
+        dirs = jnp.concatenate(
+            [dirs, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))],
+            axis=0,
+        )
+    return origins, dirs, n
+
+
+def sharded_raycast_rays(
+    origins,
+    dirs,
+    asset: SceneAsset,
+    mesh: Mesh,
+    axis: str = "rays",
+):
+    """Data-parallel raycast: rays sharded, asset replicated.
+
+    Returns a RaycastResult for the original (unpadded) ray count.
+    """
+    n_shards = mesh.shape[axis]
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    origins_p, dirs_p, n = _pad_rays(origins, dirs, n_shards)
+
+    asset_specs = jax.tree.map(lambda _: P(), asset)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), asset_specs),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def _shard_fn(o, d, a):
+        return _raycast_asset_xla_core(o, d, a)
+
+    t, slot = jax.jit(_shard_fn)(origins_p, dirs_p, asset)
+    return finalize_result(origins, dirs, t[:n], slot[:n], asset)
+
+
+def _shard_asset_blocks(asset: SceneAsset, n_shards: int) -> SceneAsset:
+    """Pad the leaf-block arrays so NB divides the triangle axis."""
+    nb = asset.num_blocks
+    pad = (-nb) % n_shards
+    if pad == 0 and asset.num_supers % n_shards == 0:
+        return asset
+    tb = asset.block_size
+    tri_data = jnp.concatenate(
+        [asset.tri_data, jnp.full((pad, 16, tb), 1e7, jnp.float32)], axis=0
+    )
+    nanpad = jnp.full((pad, 3), jnp.nan, jnp.float32)
+    block_lo = jnp.concatenate([asset.block_lo, nanpad])
+    block_hi = jnp.concatenate([asset.block_hi, nanpad])
+    tri_index = jnp.concatenate(
+        [asset.tri_index, jnp.full((pad * tb,), -1, jnp.int32)]
+    )
+    tri_normal = jnp.concatenate(
+        [asset.tri_normal, jnp.zeros((pad * tb, 3), jnp.float32)]
+    )
+    # Supers are rebuilt per shard: one super per shard-local group.
+    nb2 = nb + pad
+    sf = asset.super_factor
+    ns2 = nb2 // n_shards // sf * n_shards * sf
+    del ns2
+    return SceneAsset(
+        tri_data=tri_data,
+        block_lo=block_lo,
+        block_hi=block_hi,
+        super_lo=asset.super_lo,
+        super_hi=asset.super_hi,
+        tri_index=tri_index,
+        tri_normal=tri_normal,
+        n_tris=asset.n_tris,
+        block_size=tb,
+        super_factor=sf,
+    )
+
+
+def sharded_raycast_tris(
+    origins,
+    dirs,
+    asset: SceneAsset,
+    mesh: Mesh,
+    axis: str = "tris",
+):
+    """Triangle-sharded raycast: each chip holds a slice of the leaf blocks
+    and intersects ALL rays against it; the global nearest hit is selected by
+    an all_gather + argmin over the device axis (ICI collective).
+    """
+    n_shards = mesh.shape[axis]
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    asset_p = _shard_asset_blocks(asset, n_shards)
+    nb = asset_p.num_blocks
+    tb = asset_p.block_size
+    shard_nb = nb // n_shards
+
+    # Per-shard inputs: block panels + AABBs sharded on the block axis;
+    # rays replicated.
+    in_specs = (
+        P(),  # origins
+        P(),  # dirs
+        P(axis),  # tri_data
+        P(axis),  # block_lo
+        P(axis),  # block_hi
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _shard_fn(o, d, tri_data, blo, bhi):
+        # Local scan over this shard's blocks (slot ids are shard-local).
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+        from ipcgen_tpu.ops.geometry import moller_trumbore_components
+
+        def body(carry, b):
+            best_t, best_i = carry
+            blk = tri_data[b]
+            t = moller_trumbore_components(
+                ox, oy, oz, dx, dy, dz,
+                blk[0][None, :], blk[1][None, :], blk[2][None, :],
+                blk[3][None, :], blk[4][None, :], blk[5][None, :],
+                blk[6][None, :], blk[7][None, :], blk[8][None, :],
+            )
+            tmin = jnp.min(t, axis=1)
+            targ = jnp.argmin(t, axis=1).astype(jnp.int32) + b * tb
+            take = tmin < best_t
+            return (
+                jnp.where(take, tmin, best_t),
+                jnp.where(take, targ, best_i),
+            ), None
+
+        init = (
+            jnp.full(o.shape[0], jnp.inf, jnp.float32),
+            jnp.full(o.shape[0], -1, jnp.int32),
+        )
+        (t_local, slot_local), _ = jax.lax.scan(
+            body, init, jnp.arange(tri_data.shape[0])
+        )
+        # Shard-local slot -> global slot
+        shard_id = jax.lax.axis_index(axis)
+        slot_global = jnp.where(
+            slot_local >= 0, slot_local + shard_id * shard_nb * tb, -1
+        )
+        # Global min-t combine over the triangle axis.
+        t_all = jax.lax.all_gather(t_local, axis)  # (S, R)
+        slot_all = jax.lax.all_gather(slot_global, axis)  # (S, R)
+        winner = jnp.argmin(t_all, axis=0)  # (R,)
+        r_idx = jnp.arange(t_all.shape[1])
+        return t_all[winner, r_idx], slot_all[winner, r_idx]
+
+    t, slot = jax.jit(_shard_fn)(
+        origins, dirs, asset_p.tri_data, asset_p.block_lo, asset_p.block_hi
+    )
+    return finalize_result(origins, dirs, t, slot, asset_p)
+
+
+def scan_waypoints_sharded(
+    asset: SceneAsset,
+    intrinsics,
+    poses: np.ndarray,
+    mesh: Mesh,
+    key: Optional[jax.Array] = None,
+    ray_axis: str = "rays",
+):
+    """Fused multi-waypoint scan with rays sharded across the device mesh.
+
+    Drop-in sharded counterpart of ipcgen_tpu.sim.scan.scan_waypoints.
+    """
+    from ipcgen_tpu.models import beams
+    from ipcgen_tpu.sim.scan import ScanBatch, sensor_dirs_batch
+
+    poses = jnp.asarray(poses, jnp.float32)
+    n_waypoints = poses.shape[0]
+    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
+    dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)
+    origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
+    w, r, _ = dirs_world.shape
+
+    res = sharded_raycast_rays(
+        origins.reshape(w * r, 3), dirs_world.reshape(w * r, 3), asset, mesh,
+        axis=ray_axis,
+    )
+    t = res.t.reshape(w, r)
+    hit = res.hit.reshape(w, r)
+    points = res.points.reshape(w, r, 3)
+    normals = res.normals.reshape(w, r, 3)
+    mask = hit & keep & (t < float(intrinsics.max_range))
+    incident = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0)))
+    incident = jnp.where(mask, incident, 0.0)
+    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
+    true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
+    return ScanBatch(
+        points=jnp.where(mask[..., None], points, 0.0),
+        t=jnp.where(mask, t, jnp.inf),
+        mask=mask,
+        incident_angles=incident,
+        normals=jnp.where(mask[..., None], normals, 0.0),
+        true_incidence=true_incidence,
+    )

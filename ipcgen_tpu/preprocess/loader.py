@@ -35,7 +35,11 @@ class S3DISLoader:
             raise FileNotFoundError(f"Room data not found: {room_path}")
         txt_files = sorted(room_path.glob("*.txt"))
         if txt_files:
-            data = np.loadtxt(txt_files[0], ndmin=2)
+            from ipcgen_tpu.utils import native
+
+            data = native.parse_float_table(str(txt_files[0]))
+            if data is None:
+                data = np.loadtxt(txt_files[0], ndmin=2)
         else:
             npy_file = room_path / "points.npy"
             if not npy_file.exists():

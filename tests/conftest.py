@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; the
+# config update below forces the CPU platform (with 8 virtual devices from
+# the XLA flag above) for the whole test session.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
