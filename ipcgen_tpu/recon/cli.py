@@ -1,0 +1,137 @@
+"""Reconstruction CLI: preprocessed pickle -> per-variant meshes + report.
+
+API-parity rewrite of reference s3dis_nksr_reconstructor.py:352-509 (the
+reference file has a syntax error at :433-436 and cannot even be imported;
+this one runs).  For each sparsity variant in the preprocessed room pickle:
+reconstruct, save mesh_<variant>.ply + .json stats, optionally evaluate, and
+write reconstruction_report.json + reconstruction_summary.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict
+
+from ipcgen_tpu.recon.reconstructor import S3DISEvaluator, S3DISReconstructor
+
+
+def save_experiment_report(results: Dict, output_dir: Path, room_info: Dict) -> None:
+    """reconstruction_report.json + summary table (reference: :352-393)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    report = {
+        "room_info": room_info,
+        "experiment_time": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "results": results,
+    }
+    with open(output_dir / "reconstruction_report.json", "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2, ensure_ascii=False)
+
+    with open(output_dir / "reconstruction_summary.txt", "w", encoding="utf-8") as f:
+        f.write("S3DIS Reconstruction Summary\n")
+        f.write("=" * 80 + "\n\n")
+        f.write(
+            f"{'Config':<15} {'InputPts':<10} {'Vertices':<10} {'Faces':<10} "
+            f"{'Time(s)':<10} {'EvalStatus':<12}\n"
+        )
+        f.write("-" * 80 + "\n")
+        for config_name, result in results.items():
+            if "error" in result:
+                f.write(
+                    f"{config_name:<15} {'ERROR':<10} {'ERROR':<10} {'ERROR':<10} "
+                    f"{'ERROR':<10} {'ERROR':<12}\n"
+                )
+                continue
+            rs = result.get("reconstruction_stats", {})
+            qm = result.get("quality_metrics", {})
+            eval_status = "skipped" if not qm else "done"
+            f.write(
+                f"{config_name:<15} "
+                f"{rs.get('input_points', 0):<10} "
+                f"{rs.get('output_vertices', 0):<10} "
+                f"{rs.get('output_faces', 0):<10} "
+                f"{rs.get('reconstruction_time', 0):<10.2f} "
+                f"{eval_status:<12}\n"
+            )
+
+
+def reconstruct_room(
+    data_path: str,
+    config: Dict,
+    output_dir: str,
+    sparsity: str = None,
+) -> Dict:
+    """Per-variant reconstruction loop (reference main: :396-499)."""
+    from ipcgen_tpu.preprocess.loader import load_preprocessed_data
+
+    room_data = load_preprocessed_data(data_path)
+    output_dir = Path(output_dir)
+    scene_dir = output_dir / f"{room_data['area']}_{room_data['room']}"
+    scene_dir.mkdir(parents=True, exist_ok=True)
+
+    reconstructor = S3DISReconstructor(config)
+    evaluator = S3DISEvaluator(config)
+    results: Dict = {}
+    variants = room_data.get("variants", {})
+    if sparsity:
+        variants = {k: v for k, v in variants.items() if k == sparsity}
+
+    for name, variant in variants.items():
+        try:
+            mesh, stats = reconstructor.reconstruct_mesh(
+                variant["points"],
+                normals=variant.get("normals"),
+                colors=variant.get("colors"),
+            )
+            mesh_path = scene_dir / f"mesh_{name}.ply"
+            reconstructor.save_mesh(mesh, mesh_path, stats)
+            entry = {"reconstruction_stats": stats, "mesh_path": str(mesh_path)}
+            eval_cfg = config.get("evaluation", {})
+            if eval_cfg.get("compute_chamfer") or eval_cfg.get("compute_mesh_quality"):
+                entry["quality_metrics"] = evaluator.evaluate_reconstruction_quality(
+                    mesh, variant["points"]
+                )
+            else:
+                entry["quality_metrics"] = {}
+            results[name] = entry
+            print(
+                f"[Recon] {name}: {stats['input_points']} pts -> "
+                f"{stats['output_faces']} faces in {stats['reconstruction_time']:.2f}s"
+            )
+        except Exception as e:
+            results[name] = {"error": str(e)}
+            print(f"[Recon] {name} failed: {e}")
+
+    save_experiment_report(
+        results,
+        scene_dir,
+        {"area": room_data["area"], "room": room_data["room"]},
+    )
+    return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="S3DIS surface reconstruction")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--data_path", type=str, required=True,
+                        help="preprocessed room pickle")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--sparsity", type=str, default=None,
+                        help="only reconstruct this variant")
+    args = parser.parse_args(argv)
+
+    import yaml
+
+    with open(args.config, "r", encoding="utf-8") as f:
+        config = yaml.safe_load(f)
+    output_dir = args.output_dir or Path(
+        config.get("data", {}).get("output_root", "outputs/s3dis_reconstruction")
+    ) / "reconstruction_results"
+    return reconstruct_room(args.data_path, config, str(output_dir), args.sparsity)
+
+
+if __name__ == "__main__":
+    main()
