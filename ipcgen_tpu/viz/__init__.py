@@ -7,3 +7,8 @@ from ipcgen_tpu.viz.scene_viz import (  # noqa: F401
     create_visualization_summary,
 )
 from ipcgen_tpu.viz.trajectory_viz import TrajectoryVisualizer  # noqa: F401
+from ipcgen_tpu.viz.normals_viz import (  # noqa: F401
+    visualize_normal_statistics,
+    visualize_normals,
+    visualize_normals_high_quality,
+)
