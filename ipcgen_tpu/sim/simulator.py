@@ -85,6 +85,7 @@ class S3DISSimulator:
 
     def _initialize_components(self) -> None:
         """Select LiDAR profile + engine (reference: :57-78)."""
+        _enable_compilation_cache(self.config)
         if self.use_blk2go:
             self.lidar_config = DualAxisLidarIntrinsics.create_blk2go_dual_axis()
         elif self.use_dense_lidar:
@@ -313,6 +314,23 @@ class S3DISSimulator:
         with open(analysis_file, "w", encoding="utf-8") as f:
             json.dump(analysis_info, f, indent=2, ensure_ascii=False)
         return sim_scene
+
+
+def _enable_compilation_cache(config: Dict[str, Any]) -> None:
+    """Persistent XLA compilation cache: the fused scan compiles once per
+    (profile, waypoint-count, mesh-size-class) — caching it on disk removes
+    the ~1-2 min first-room compile from every later process (the batch
+    driver already amortizes it within a process)."""
+    cache_dir = config.get("compilation_cache_dir", "~/.cache/ipcgen_tpu_xla")
+    if not cache_dir:
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", str(Path(cache_dir).expanduser())
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 
 # ---------------------------------------------------------------------------
