@@ -120,11 +120,7 @@ def _shard_asset_blocks(asset: SceneAsset, n_shards: int) -> SceneAsset:
     tri_normal = jnp.concatenate(
         [asset.tri_normal, jnp.zeros((pad * tb, 3), jnp.float32)]
     )
-    # Supers are rebuilt per shard: one super per shard-local group.
-    nb2 = nb + pad
     sf = asset.super_factor
-    ns2 = nb2 // n_shards // sf * n_shards * sf
-    del ns2
     return SceneAsset(
         tri_data=tri_data,
         block_lo=block_lo,

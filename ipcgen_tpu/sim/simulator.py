@@ -226,6 +226,16 @@ class S3DISSimulator:
 
         simulation_time = time.time() - start_time
         sim_scene.compute_statistics(simulation_time)
+        # Per-kernel throughput counter (SURVEY.md §5.1: the TPU equivalent
+        # of the reference's wall-clock spans is rays/sec instrumentation).
+        total_rays = int(np.prod(np.asarray(batch.t.shape)))
+        if simulation_time > 0:
+            print(
+                f"[Perf] {total_rays:,} rays / {simulation_time:.3f}s = "
+                f"{total_rays / simulation_time / 1e6:.1f} M rays/s "
+                f"({len(waypoints)} waypoints, backend="
+                f"{self.config.get('raycast_engine', {}).get('backend', 'auto')})"
+            )
         return sim_scene
 
     # ------------------------------------------------------------------

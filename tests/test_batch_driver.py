@@ -1,0 +1,65 @@
+"""Batch simulation driver: discovery, skip/resume, summary (reference parity)."""
+
+import numpy as np
+
+from ipcgen_tpu.containers import TriMesh
+from ipcgen_tpu.sim.simulator import find_available_scenes, main
+
+
+def _make_reconstruction_dir(tmp_path):
+    recon = tmp_path / "reconstruction_results"
+    for i, name in enumerate(["Area_1_office_1", "Area_1_office_2"]):
+        d = recon / name
+        d.mkdir(parents=True)
+        room = TriMesh.box(
+            center=(2.0, 1.5, 1.25), size=(4.0 + i, 3.0, 2.5), inward=True
+        )
+        room.save(d / "mesh_dense.ply")
+        # A second mesh variant: discovery must prefer mesh_dense.ply
+        room.save(d / "mesh_sparse50.ply")
+    return recon
+
+
+def test_find_available_scenes(tmp_path):
+    recon = _make_reconstruction_dir(tmp_path)
+    scenes = find_available_scenes(str(recon))
+    assert len(scenes) == 2
+    for mesh_path, scene_name, area_room in scenes:
+        assert mesh_path.endswith("mesh_dense.ply")
+        assert scene_name == area_room
+    assert find_available_scenes(str(tmp_path / "missing")) == []
+
+
+def test_batch_main_with_skip_resume(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    recon = _make_reconstruction_dir(tmp_path)
+    out = tmp_path / "simulation_results"
+
+    kwargs = dict(
+        reconstruction_dir=str(recon),
+        num_waypoints=3,
+        output_base_dir=str(out),
+        use_gpu=False,
+        use_blk2go=False,
+        use_dense_lidar=False,
+        use_auto_trajectory=False,
+        s3dis_data_root=str(tmp_path / "nonexistent"),
+    )
+    result = main(**kwargs)
+    assert len(result["successful"]) == 2
+    assert not result["failed"]
+    assert not result["skipped"]
+    for name in ("Area_1_office_1", "Area_1_office_2"):
+        assert (out / name / "combined_pointcloud_with_label.ply").exists()
+        assert (out / name / "simulation_statistics.txt").exists()
+
+    # Second run: both scenes skip (reference: s3dis_simulator.py:643-655)
+    result2 = main(**kwargs)
+    assert len(result2["skipped"]) == 2
+    assert not result2["successful"]
+
+    # Partially-processed scene re-runs
+    (out / "Area_1_office_1" / "simulation_statistics.txt").unlink()
+    result3 = main(**kwargs)
+    assert len(result3["successful"]) == 1
+    assert len(result3["skipped"]) == 1
