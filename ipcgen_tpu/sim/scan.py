@@ -95,6 +95,56 @@ def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
     raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("max_range", "backend"))
+def _scan_core(
+    asset: SceneAsset,
+    poses: jnp.ndarray,
+    dirs_sensor: jnp.ndarray,
+    keep: jnp.ndarray,
+    max_range: float,
+    backend: str,
+) -> ScanBatch:
+    """The whole post-beam-gen scan as ONE compiled program: pose transform,
+    raycast, range mask, and both incidence formulas fuse into a single
+    dispatch (eager per-op dispatch over the remote TPU link would otherwise
+    dominate the kernel time)."""
+    dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)  # (W, R, 3)
+    origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
+    w, r, _ = dirs_world.shape
+    res = raycast_asset(
+        origins.reshape(w * r, 3),
+        dirs_world.reshape(w * r, 3),
+        asset,
+        backend=backend,
+        t_max=max_range,
+    )
+    t = res.t.reshape(w, r)
+    hit = res.hit.reshape(w, r)
+    points = res.points.reshape(w, r, 3)
+    normals = res.normals.reshape(w, r, 3)
+
+    mask = hit & keep & (t < max_range)
+    # Reference formula: angle of the (unit) ray direction to vertical,
+    # computed from normalized (point - center) == the ray direction.
+    incident = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0)))
+    incident = jnp.where(mask, incident, 0.0)
+    # True incidence: angle between the ray and the surface normal.
+    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
+    true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
+
+    return ScanBatch(
+        points=jnp.where(mask[..., None], points, 0.0),
+        t=jnp.where(mask, t, jnp.inf),
+        mask=mask,
+        incident_angles=incident,
+        normals=jnp.where(mask[..., None], normals, 0.0),
+        true_incidence=true_incidence,
+    )
+
+
 def scan_waypoints(
     asset: SceneAsset,
     intrinsics,
@@ -121,36 +171,8 @@ def scan_waypoints(
     poses = jnp.asarray(poses, jnp.float32)
     n_waypoints = poses.shape[0]
     dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
-    dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)  # (W, R, 3)
-    origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
-
-    w, r, _ = dirs_world.shape
-    res = raycast_asset(
-        origins.reshape(w * r, 3),
-        dirs_world.reshape(w * r, 3),
-        asset,
-        backend=backend,
-        t_max=float(intrinsics.max_range),
-    )
-    t = res.t.reshape(w, r)
-    hit = res.hit.reshape(w, r)
-    points = res.points.reshape(w, r, 3)
-    normals = res.normals.reshape(w, r, 3)
-
-    mask = hit & keep & (t < float(intrinsics.max_range))
-    # Reference formula: angle of the (unit) ray direction to vertical,
-    # computed from normalized (point - center) == the ray direction.
-    incident = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0)))
-    incident = jnp.where(mask, incident, 0.0)
-    # True incidence: angle between the ray and the surface normal.
-    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
-    true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
-
-    return ScanBatch(
-        points=jnp.where(mask[..., None], points, 0.0),
-        t=jnp.where(mask, t, jnp.inf),
-        mask=mask,
-        incident_angles=incident,
-        normals=jnp.where(mask[..., None], normals, 0.0),
-        true_incidence=true_incidence,
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    return _scan_core(
+        asset, poses, dirs_sensor, keep, float(intrinsics.max_range), backend
     )
