@@ -216,6 +216,44 @@ def sharded_raycast_tris(
     return finalize_result(origins, dirs, t, slot, asset_p)
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_scan_core(mesh: Mesh, ray_axis: str, max_range: float):
+    """Build (and cache) the fully-jitted sharded scan program for a mesh."""
+    from ipcgen_tpu.models import beams
+    from ipcgen_tpu.sim.scan import ScanBatch
+
+    @jax.jit
+    def core(asset, poses, dirs_sensor, keep):
+        dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)
+        origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
+        w, r, _ = dirs_world.shape
+        res = sharded_raycast_rays(
+            origins.reshape(w * r, 3), dirs_world.reshape(w * r, 3), asset, mesh,
+            axis=ray_axis,
+        )
+        t = res.t.reshape(w, r)
+        hit = res.hit.reshape(w, r)
+        points = res.points.reshape(w, r, 3)
+        normals = res.normals.reshape(w, r, 3)
+        mask = hit & keep & (t < max_range)
+        incident = jnp.degrees(
+            jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0))
+        )
+        incident = jnp.where(mask, incident, 0.0)
+        cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
+        true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
+        return ScanBatch(
+            points=jnp.where(mask[..., None], points, 0.0),
+            t=jnp.where(mask, t, jnp.inf),
+            mask=mask,
+            incident_angles=incident,
+            normals=jnp.where(mask[..., None], normals, 0.0),
+            true_incidence=true_incidence,
+        )
+
+    return core
+
+
 def scan_waypoints_sharded(
     asset: SceneAsset,
     intrinsics,
@@ -226,36 +264,14 @@ def scan_waypoints_sharded(
 ):
     """Fused multi-waypoint scan with rays sharded across the device mesh.
 
-    Drop-in sharded counterpart of ipcgen_tpu.sim.scan.scan_waypoints.
+    Drop-in sharded counterpart of ipcgen_tpu.sim.scan.scan_waypoints; the
+    whole post-beam-gen program (transform, sharded raycast, masking) is one
+    compiled dispatch.
     """
-    from ipcgen_tpu.models import beams
-    from ipcgen_tpu.sim.scan import ScanBatch, sensor_dirs_batch
+    from ipcgen_tpu.sim.scan import sensor_dirs_batch
 
     poses = jnp.asarray(poses, jnp.float32)
     n_waypoints = poses.shape[0]
     dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
-    dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)
-    origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
-    w, r, _ = dirs_world.shape
-
-    res = sharded_raycast_rays(
-        origins.reshape(w * r, 3), dirs_world.reshape(w * r, 3), asset, mesh,
-        axis=ray_axis,
-    )
-    t = res.t.reshape(w, r)
-    hit = res.hit.reshape(w, r)
-    points = res.points.reshape(w, r, 3)
-    normals = res.normals.reshape(w, r, 3)
-    mask = hit & keep & (t < float(intrinsics.max_range))
-    incident = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0)))
-    incident = jnp.where(mask, incident, 0.0)
-    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
-    true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
-    return ScanBatch(
-        points=jnp.where(mask[..., None], points, 0.0),
-        t=jnp.where(mask, t, jnp.inf),
-        mask=mask,
-        incident_angles=incident,
-        normals=jnp.where(mask[..., None], normals, 0.0),
-        true_incidence=true_incidence,
-    )
+    core = _sharded_scan_core(mesh, ray_axis, float(intrinsics.max_range))
+    return core(asset, poses, dirs_sensor, keep)

@@ -127,6 +127,10 @@ class S3DISSimulator:
         self.auto_trajectory_generator = AutoTrajectoryGenerator(
             robot_radius=0.15,  # narrow-space default (reference: :128)
             seed=self.config.get("seed"),
+            occupancy_mode=self.config.get("trajectory", {}).get(
+                "occupancy_mode", "vertices"
+            ),
+            scene_asset=self.scene_asset,
         )
         return self.scene
 

@@ -59,12 +59,21 @@ class AutoTrajectoryGenerator:
         robot_radius: float = 0.3,
         min_trajectory_length: Optional[float] = None,
         seed: Optional[int] = None,
+        occupancy_mode: str = "vertices",
+        scene_asset=None,
     ):
+        """``occupancy_mode``: "vertices" keeps the reference's vertex-in-AABB
+        cell test; "raycast" classifies cells with one batched probe-ray query
+        against ``scene_asset`` through the Pallas raycast kernel
+        (ipcgen_tpu.ops.occupancy — sees triangle surfaces, not just
+        vertices)."""
         self.robot_radius = robot_radius
         self.min_trajectory_length = min_trajectory_length
         self.collision_detector = CollisionDetector(robot_radius)
         self.room_analysis: Optional[RoomAnalysis] = None
         self.rng = np.random.default_rng(seed)
+        self.occupancy_mode = occupancy_mode
+        self.scene_asset = scene_asset
 
         # Generation parameters (reference: :54-62)
         self.grid_resolution = 0.2
@@ -112,7 +121,19 @@ class AutoTrajectoryGenerator:
         z_ok = (z - r >= room_bounds["z_min"]) and (z + r <= room_bounds["z_max"])
 
         occupied = np.zeros((len(xs), len(ys)), dtype=bool)
-        verts = np.asarray(mesh.vertices)
+        if self.occupancy_mode == "raycast" and self.scene_asset is not None:
+            from ipcgen_tpu.ops.occupancy import obstacle_mask
+
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            cells = np.stack(
+                [gx.ravel(), gy.ravel(), np.full(gx.size, z)], axis=1
+            )
+            occupied = obstacle_mask(
+                self.scene_asset, cells, r
+            ).reshape(len(xs), len(ys))
+            verts = np.zeros((0, 3))
+        else:
+            verts = np.asarray(mesh.vertices)
         if len(verts) > 0:
             band = verts[(verts[:, 2] >= z - r) & (verts[:, 2] <= z + r)]
             if len(band) > 0:
