@@ -51,6 +51,19 @@ class ScanBatch(NamedTuple):
             np.asarray(self.incident_angles[w])[m],
         )
 
+    def to_numpy(self):
+        """One bulk device->host transfer of (points, angles, mask).
+
+        Per-frame np.asarray slicing costs one RPC per frame on remote-
+        attached TPUs; exporting the whole batch at once is ~40x fewer
+        transfers for a 40-frame trajectory.
+        """
+        return (
+            np.asarray(self.points),
+            np.asarray(self.incident_angles),
+            np.asarray(self.mask),
+        )
+
 
 def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
     """Per-waypoint sensor-frame beam directions + keep masks.

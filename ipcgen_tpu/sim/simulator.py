@@ -205,9 +205,12 @@ class S3DISSimulator:
             backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
         )
         jax.block_until_ready(batch.t)
+        all_points, all_angles, all_mask = batch.to_numpy()
 
         for i in range(len(waypoints)):
-            points, incident_angles = batch.frame_arrays(i)
+            m = all_mask[i]
+            points = all_points[i][m]
+            incident_angles = all_angles[i][m]
             # Per-frame quality metrics (reference: :276-284; note the range
             # stats are norms of the world positions — preserved verbatim).
             ranges = np.linalg.norm(points, axis=1) if len(points) else np.zeros(0)

@@ -322,14 +322,7 @@ class AutoTrajectoryGenerator:
                             )
                             waypoints = self._smooth_trajectory(waypoints)
 
-            collision_count = 0
-            for waypoint in waypoints:
-                point = np.array([waypoint.x, waypoint.y, waypoint.z])
-                if not self._is_point_in_room_bounds(point, self.room_analysis.bounds):
-                    collision_count += 1
-                    continue
-                if self._is_point_inside_mesh(point, self.room_analysis.mesh):
-                    collision_count += 1
+            collision_count = self._count_waypoint_collisions(waypoints)
 
             length = self._calculate_trajectory_length(waypoints)
             smoothness_score = self._calculate_smoothness_score(waypoints)
@@ -358,6 +351,42 @@ class AutoTrajectoryGenerator:
             )
         except Exception:
             return None
+
+    def _count_waypoint_collisions(self, waypoints: List[Waypoint]) -> int:
+        """Vectorized collision recount over a candidate's waypoints.
+
+        Same semantics as the reference's per-waypoint loop (:347-359): a
+        waypoint collides when its robot AABB leaves the room OR any mesh
+        vertex falls inside it.  Vertices are prefiltered once to the robot's
+        z band, then all waypoints test against that band in one numpy pass.
+        """
+        if not waypoints:
+            return 0
+        b = self.room_analysis.bounds
+        r = self.robot_radius
+        pts = np.array([[w.x, w.y, w.z] for w in waypoints])  # (W, 3)
+        out_of_bounds = ~(
+            (b["x_min"] <= pts[:, 0] - r) & (pts[:, 0] + r <= b["x_max"])
+            & (b["y_min"] <= pts[:, 1] - r) & (pts[:, 1] + r <= b["y_max"])
+            & (b["z_min"] <= pts[:, 2] - r) & (pts[:, 2] + r <= b["z_max"])
+        )
+        mesh = self.room_analysis.mesh
+        verts = np.asarray(mesh.vertices) if mesh is not None else np.zeros((0, 3))
+        hits = np.zeros(len(pts), dtype=bool)
+        if len(verts):
+            z_lo = pts[:, 2].min() - r
+            z_hi = pts[:, 2].max() + r
+            band = verts[(verts[:, 2] >= z_lo) & (verts[:, 2] <= z_hi)]
+            if len(band):
+                # (W, V') any-vertex-in-AABB, chunked over waypoints
+                for i in range(len(pts)):
+                    lo = pts[i] - r
+                    hi = pts[i] + r
+                    hits[i] = bool(
+                        np.any(np.all((band >= lo) & (band <= hi), axis=1))
+                    )
+        # Reference counts out-of-bounds OR in-mesh, never both (continue).
+        return int(np.sum(out_of_bounds | (~out_of_bounds & hits)))
 
     @staticmethod
     def _generate_linear_waypoints(
