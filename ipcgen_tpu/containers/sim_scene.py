@@ -281,21 +281,19 @@ class S3DISSimScene:
         )
 
     def _export_combined_pointcloud_with_labels(self, output_dir: Path) -> None:
-        """8-attribute labeled export (reference: :339-377)."""
-        all_points, all_colors, all_sem, all_ins = [], [], [], []
-        for frame in self.frames:
-            if len(frame.points) > 0:
-                all_points.append(frame.points)
-                colors, sem, ins = self._get_colors_and_labels_from_s3dis(frame.points)
-                all_colors.append(colors)
-                all_sem.append(sem)
-                all_ins.append(ins)
+        """8-attribute labeled export (reference: :339-377).
+
+        The reference transfers labels frame by frame (:347-356); one batched
+        1-NN over the concatenated cloud produces identical output with a
+        single device dispatch.
+        """
+        all_points = [f.points for f in self.frames if len(f.points) > 0]
         if not all_points:
             return
         combined_points = np.vstack(all_points)
-        combined_colors = np.vstack(all_colors)
-        combined_sem = np.concatenate(all_sem)
-        combined_ins = np.concatenate(all_ins)
+        combined_colors, combined_sem, combined_ins = (
+            self._get_colors_and_labels_from_s3dis(combined_points)
+        )
         colors_255 = (combined_colors * 255).astype(np.uint8)
         write_labeled_ply(
             output_dir / "combined_pointcloud_with_label.ply",

@@ -34,6 +34,21 @@ def _pad_rows(x: jnp.ndarray, block: int, value: float) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], axis=0)
 
 
+def _bucket_rows(x: jnp.ndarray, block: int, value: float) -> jnp.ndarray:
+    """Pad rows to a power-of-two bucket (>= block multiple).
+
+    Callers pass varying row counts (per-frame hit counts differ each frame);
+    bucketing collapses them onto a handful of padded shapes so the jitted
+    scan compiles once per bucket instead of once per frame.
+    """
+    n = max(x.shape[0], 1)
+    target = max(block, 1 << (n - 1).bit_length())
+    pad = target - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("q_block", "r_block"))
 def _nn_1_padded(
     queries: jnp.ndarray, refs: jnp.ndarray, q_block: int, r_block: int
@@ -108,7 +123,7 @@ def nearest_neighbor_indices(
     n = queries.shape[0]
     q_block = min(q_block, max(8, 1 << (n - 1).bit_length()))
     r_block = min(r_block, max(8, 1 << (refs.shape[0] - 1).bit_length()))
-    qp = _pad_rows(queries, q_block, 0.0)
+    qp = _bucket_rows(queries, q_block, 0.0)
     rp = _pad_rows(refs, r_block, _PAD_LARGE)
     idx, _ = _nn_1_padded(qp, rp, q_block, r_block)
     idx = np.asarray(idx[:n])
@@ -185,7 +200,7 @@ def knn(
     k_eff = min(k, m)
     q_block = min(q_block, max(8, 1 << (n - 1).bit_length()))
     r_block = min(r_block, max(8, 1 << (m - 1).bit_length()))
-    qp = _pad_rows(queries, q_block, 0.0)
+    qp = _bucket_rows(queries, q_block, 0.0)
     rp = _pad_rows(refs, r_block, _PAD_LARGE)
     idx, d2 = _knn_padded(qp, rp, k_eff, q_block, r_block)
     idx = np.asarray(idx[:n])
