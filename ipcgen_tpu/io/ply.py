@@ -315,17 +315,26 @@ def write_labeled_ply(
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     n = len(points)
-    rec = np.empty(n, dtype=_LABELED_DTYPE)
     points = np.asarray(points, dtype=np.float32)
-    rec["x"], rec["y"], rec["z"] = points[:, 0], points[:, 1], points[:, 2]
     colors_u8 = np.asarray(colors_u8)
     if colors_u8.dtype != np.uint8:
         colors_u8 = colors_u8.astype(np.uint8)
-    rec["red"], rec["green"], rec["blue"] = (
-        colors_u8[:, 0], colors_u8[:, 1], colors_u8[:, 2],
-    )
-    rec["sem"] = np.asarray(semantic_labels).astype(np.uint16)
-    rec["ins"] = np.asarray(instance_labels).astype(np.uint16)
+    sem = np.asarray(semantic_labels).astype(np.uint16)
+    ins = np.asarray(instance_labels).astype(np.uint16)
+
+    # Native single-pass record interleave when the C++ library is built.
+    from ipcgen_tpu.utils import native
+
+    payload = native.encode_labeled_payload(points, colors_u8, sem, ins)
+    if payload is None:
+        rec = np.empty(n, dtype=_LABELED_DTYPE)
+        rec["x"], rec["y"], rec["z"] = points[:, 0], points[:, 1], points[:, 2]
+        rec["red"], rec["green"], rec["blue"] = (
+            colors_u8[:, 0], colors_u8[:, 1], colors_u8[:, 2],
+        )
+        rec["sem"] = sem
+        rec["ins"] = ins
+        payload = rec.tobytes()
     with open(path, "wb") as f:
         f.write(b"ply\n")
         f.write(b"format binary_little_endian 1.0\n")
@@ -339,7 +348,7 @@ def write_labeled_ply(
         f.write(b"property ushort sem\n")
         f.write(b"property ushort ins\n")
         f.write(b"end_header\n")
-        rec.tofile(f)
+        f.write(payload)
 
 
 def read_labeled_ply(path: Union[str, Path]):

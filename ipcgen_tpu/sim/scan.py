@@ -10,6 +10,7 @@ SceneAsset.  Hits stay masked, never compacted, until host export.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -106,9 +107,6 @@ def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
         keep = jnp.ones(dirs.shape[:2], dtype=bool)
         return dirs, keep
     raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("max_range", "backend"))

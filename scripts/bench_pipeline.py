@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""End-to-end pipeline benchmark: S3DIS-scale rooms/hour on real hardware.
+
+Synthesizes TLS-style dense rooms (shell + furniture clouds with per-instance
+annotations, ~0.5-1M points), then runs the full five-stage pipeline per room
+and reports per-stage timings and rooms/hour.  The first room pays the XLA
+compiles; steady-state rooms reuse them (report excludes+includes variants).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def synth_room(root: Path, area: str, room: str, rng, n_shell=600_000,
+               n_furniture=8):
+    d = root / area / room
+    ann = d / "Annotations"
+    ann.mkdir(parents=True, exist_ok=True)
+    w = rng.uniform(4.5, 8.0)
+    h = rng.uniform(3.5, 6.0)
+    z = 2.7
+
+    def surf(n, axis, value, lo, hi):
+        pts = rng.uniform(0, 1, (n, 3)) * (np.array(hi) - lo) + lo
+        pts[:, axis] = value
+        return pts
+
+    lo = [0.0, 0.0, 0.0]
+    hi = [w, h, z]
+    floor = surf(int(n_shell * 0.25), 2, 0.0, lo, hi)
+    ceil_ = surf(int(n_shell * 0.2), 2, z, lo, hi)
+    walls = np.vstack([
+        surf(int(n_shell * 0.14), 0, 0.0, lo, hi),
+        surf(int(n_shell * 0.14), 0, w, lo, hi),
+        surf(int(n_shell * 0.14), 1, 0.0, lo, hi),
+        surf(int(n_shell * 0.13), 1, h, lo, hi),
+    ])
+    parts = {"floor_1": floor, "ceiling_1": ceil_, "wall_1": walls}
+    classes = ["chair", "table", "sofa", "bookcase", "board"]
+    counters = {c: 0 for c in classes}
+    for _ in range(n_furniture):
+        c = classes[int(rng.integers(0, len(classes)))]
+        counters[c] += 1
+        size = {
+            "chair": [0.5, 0.5, 0.9], "table": [1.4, 0.8, 0.75],
+            "sofa": [1.8, 0.9, 0.8], "bookcase": [0.9, 0.35, 1.9],
+            "board": [1.6, 0.35, 1.1],
+        }[c]
+        pos = [rng.uniform(0.5, w - 0.5 - size[0]), rng.uniform(0.5, h - 0.5 - size[1]), 0]
+        n_pts = int(4000 * np.prod(size) ** 0.5) + 500
+        # surface-ish sampling: points on the box faces
+        u = rng.uniform(0, 1, (n_pts, 3)) * size + pos
+        face = rng.integers(0, 6, n_pts)
+        for ax in range(3):
+            mlo = face == 2 * ax
+            mhi = face == 2 * ax + 1
+            u[mlo, ax] = pos[ax] if ax < 2 else 0
+            u[mhi, ax] = pos[ax] + size[ax] if ax < 2 else size[ax]
+        parts[f"{c}_{counters[c]}"] = u
+    cloud, colors = [], []
+    for name, pts in parts.items():
+        cloud.append(pts)
+        colors.append(np.tile(rng.integers(40, 220, 3), (len(pts), 1)))
+        np.savetxt(ann / f"{name}.txt",
+                   np.hstack([pts, np.tile(rng.integers(40, 220, 3), (len(pts), 1))]),
+                   fmt="%.4f %.4f %.4f %d %d %d")
+    data = np.hstack([np.vstack(cloud), np.vstack(colors)])
+    np.savetxt(d / f"{room}.txt", data, fmt="%.4f %.4f %.4f %d %d %d")
+    return len(data)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rooms", type=int, default=3)
+    ap.add_argument("--shell-points", type=int, default=600_000)
+    ap.add_argument("--workdir", default="/tmp/bench_pipeline")
+    ap.add_argument("--waypoints", type=int, default=20)
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
+    if work.exists():
+        shutil.rmtree(work)
+    data_root = work / "data"
+    rng = np.random.default_rng(0)
+
+    from ipcgen_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.data.data_root = str(data_root)
+    cfg.data.output_root = str(work / "outputs")
+    cfg.data.area_name = "Area_1"
+    cfg.nksr.voxel_size = 0.04
+    cfg.nksr.chunked = False
+    cfg.simulation.num_waypoints = args.waypoints
+    cfg.simulation.use_blk2go = True
+    cfg.simulation.output_base_dir = str(work / "simulation_results")
+    cfg.simulation.save_visualizations = False
+
+    rooms = [f"office_{i+1}" for i in range(args.rooms)]
+    print("synthesizing rooms...", flush=True)
+    for room in rooms:
+        n = synth_room(data_root, "Area_1", room, rng, n_shell=args.shell_points)
+        print(f"  {room}: {n:,} points", flush=True)
+
+    from ipcgen_tpu.preprocess.loader import preprocess_room
+    from ipcgen_tpu.recon.cli import reconstruct_room
+    from ipcgen_tpu.sim.simulator import run_single_scene_simulation
+
+    stage_times = {"preprocess": [], "recon": [], "sim": [], "bbox": []}
+    room_times = []
+    for room in rooms:
+        t_room = time.time()
+        t0 = time.time()
+        rd = preprocess_room(
+            str(data_root), "Area_1", room, cfg.to_dict(),
+            output_dir=str(work / "outputs" / "preprocessed"), seed=0,
+        )
+        stage_times["preprocess"].append(time.time() - t0)
+        t0 = time.time()
+        reconstruct_room(
+            rd["output_path"], cfg.to_dict(),
+            str(work / "outputs" / "reconstruction_results"),
+        )
+        stage_times["recon"].append(time.time() - t0)
+        t0 = time.time()
+        scene_name = f"Area_1_{room}"
+        run_single_scene_simulation(
+            scene_path=str(work / "outputs" / "reconstruction_results"
+                           / scene_name / "mesh_dense.ply"),
+            scene_name=scene_name,
+            num_waypoints=args.waypoints,
+            output_base_dir=cfg.simulation.output_base_dir,
+            use_blk2go=True,
+            s3dis_data_root=str(data_root),
+            area="Area_1",
+            room=room,
+            save_visualizations=False,
+        )
+        stage_times["sim"].append(time.time() - t0)
+        t0 = time.time()
+        from ipcgen_tpu.bbox.detection import S3DISBBoxVisualizer
+
+        vis = S3DISBBoxVisualizer(results_root=cfg.simulation.output_base_dir)
+        vis.visualize_room_bboxes(data_root / "Area_1" / room)
+        stage_times["bbox"].append(time.time() - t0)
+        room_times.append(time.time() - t_room)
+        print(f"{room}: {room_times[-1]:.1f}s "
+              f"(pre {stage_times['preprocess'][-1]:.1f} / "
+              f"recon {stage_times['recon'][-1]:.1f} / "
+              f"sim {stage_times['sim'][-1]:.1f} / "
+              f"bbox {stage_times['bbox'][-1]:.1f})", flush=True)
+
+    steady = room_times[1:] if len(room_times) > 1 else room_times
+    out = {
+        "rooms": len(rooms),
+        "first_room_seconds": round(room_times[0], 1),
+        "steady_room_seconds": round(float(np.mean(steady)), 1),
+        "rooms_per_hour_steady": round(3600.0 / float(np.mean(steady)), 1),
+        "stage_seconds_steady": {
+            k: round(float(np.mean(v[1:] if len(v) > 1 else v)), 1)
+            for k, v in stage_times.items()
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

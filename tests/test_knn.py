@@ -32,7 +32,7 @@ def test_knn_matches_brute_force(rng):
     q = rng.normal(size=(100, 3)).astype(np.float32)
     r = rng.normal(size=(300, 3)).astype(np.float32)
     k = 5
-    idx, dists = knn(q, r, k=k, q_block=32, r_block=64)
+    idx, dists = knn(q, r, k=k, q_block=32)
     d = np.linalg.norm(q[:, None, :] - r[None, :, :], axis=2)
     expected_d = np.sort(d, axis=1)[:, :k]
     np.testing.assert_allclose(dists, expected_d, atol=1e-4)
