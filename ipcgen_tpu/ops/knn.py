@@ -101,8 +101,12 @@ def _nn_1_padded(
 
 
 def nearest_neighbor_indices(
-    queries, refs, q_block: int = 1024, r_block: int = 2048
+    queries, refs, q_block: int = 1024, r_block: int = 32768
 ) -> np.ndarray:
+    # r_block sizes the (q_block, r_block) distance tile: large enough that
+    # million-point transfers stay at a few tens of thousands of scan steps
+    # (tiny chunks made step-count, not FLOPs, the bottleneck), small enough
+    # that the tile fits comfortably in VMEM-adjacent working memory.
     """Index of the nearest reference point for every query point.
 
     Parameters

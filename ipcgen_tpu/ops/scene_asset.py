@@ -111,12 +111,28 @@ class SceneAsset:
         return lo, hi
 
 
+def _bucket_count(n: int, granularity: int = 8) -> int:
+    """Round up to the next (granularity..2*granularity-1) * 2^j bucket.
+
+    Scene sizes vary per room; every distinct block count is a distinct
+    static shape for the raycast kernel (a fresh ~40 s XLA compile).  This
+    bucketing caps padding waste at ~1/granularity while collapsing all room
+    sizes onto a handful of compiled programs.
+    """
+    if n <= granularity:
+        return n
+    j = (n - 1).bit_length() - granularity.bit_length() + 1
+    step = 1 << max(j, 0)
+    return -(-n // step) * step
+
+
 def build_scene_asset(
     vertices: np.ndarray,
     triangles: np.ndarray,
     block_size: int = 128,
     super_factor: int = 8,
     morton_bits: int = 10,
+    bucket: bool = True,
 ) -> SceneAsset:
     """Build the two-level structure on the host (numpy) and ship it to device.
 
@@ -154,8 +170,11 @@ def build_scene_asset(
     corners = corners[order]
     tri_index = order.astype(np.int32)
 
-    # Pad to a whole number of blocks with far-away degenerate triangles.
+    # Pad to a whole number of blocks with far-away degenerate triangles;
+    # bucket the block count so similarly-sized rooms share compiled kernels.
     n_blocks = -(-n_tris // block_size)
+    if bucket:
+        n_blocks = _bucket_count(n_blocks)
     n_pad = n_blocks * block_size - n_tris
     if n_pad:
         pad_tri = np.full((n_pad, 3, 3), _PAD_COORD, dtype=np.float32)
@@ -175,35 +194,42 @@ def build_scene_asset(
     norm = np.linalg.norm(raw_n, axis=1, keepdims=True)
     tri_normal = (raw_n / np.maximum(norm, 1e-20)).astype(np.float32)
 
-    # Leaf AABBs (padding triangles excluded via masking on real blocks).
+    # Leaf AABBs over real triangles only; fully-padded blocks get NaN boxes
+    # (NaN comparisons are false -> the slab test can never pass).
     blk_corners = corners.reshape(n_blocks, block_size, 3, 3)
-    blk_lo = blk_corners.min(axis=(1, 2))
-    blk_hi = blk_corners.max(axis=(1, 2))
-    # Blocks containing padding: clamp AABB to the real triangles only.
-    if n_pad:
-        last = n_blocks - 1
-        real = blk_corners[last, : block_size - n_pad]
-        if len(real):
-            blk_lo[last] = real.min(axis=(0, 1))
-            blk_hi[last] = real.max(axis=(0, 1))
+    valid = (
+        np.arange(n_blocks * block_size).reshape(n_blocks, block_size) < n_tris
+    )[..., None, None]
+    blk_lo = np.where(valid, blk_corners, np.inf).min(axis=(1, 2))
+    blk_hi = np.where(valid, blk_corners, -np.inf).max(axis=(1, 2))
     eps = 1e-5 * np.maximum(extent.max(), 1.0)
     blk_lo -= eps
     blk_hi += eps
+    empty_blocks = ~np.isfinite(blk_lo[:, 0])
+    blk_lo[empty_blocks] = np.nan
+    blk_hi[empty_blocks] = np.nan
 
-    # Super-block AABBs
+    # Super-block AABBs (nan-aware: padded leaf blocks carry NaN boxes).
     n_supers = -(-n_blocks // super_factor)
     pad_blocks = n_supers * super_factor - n_blocks
-    sup_lo = np.concatenate(
-        [blk_lo, np.full((pad_blocks, 3), _PAD_COORD, np.float32)], axis=0
-    ).reshape(n_supers, super_factor, 3).min(axis=1)
-    sup_hi = np.concatenate(
-        [blk_hi, np.full((pad_blocks, 3), -_PAD_COORD, np.float32)], axis=0
-    ).reshape(n_supers, super_factor, 3).max(axis=1)
-    # Degenerate supers (all padding) get NaN boxes: NaN comparisons are
-    # always false, so the slab test can never pass for them.
-    empty = sup_hi[:, 0] < sup_lo[:, 0]
-    sup_lo[empty] = np.nan
-    sup_hi[empty] = np.nan
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        sup_lo = np.nanmin(
+            np.concatenate(
+                [blk_lo, np.full((pad_blocks, 3), np.nan, np.float32)], axis=0
+            ).reshape(n_supers, super_factor, 3),
+            axis=1,
+        )
+        sup_hi = np.nanmax(
+            np.concatenate(
+                [blk_hi, np.full((pad_blocks, 3), np.nan, np.float32)], axis=0
+            ).reshape(n_supers, super_factor, 3),
+            axis=1,
+        )
+    # Degenerate supers (all padding) stay NaN: NaN comparisons are always
+    # false, so the slab test can never pass for them.
 
     return SceneAsset(
         tri_data=jnp.asarray(tri_data),

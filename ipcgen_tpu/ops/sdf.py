@@ -41,38 +41,60 @@ class SdfGrid(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "splat_radius"))
 def _fuse(points, normals, origin, voxel_size, grid_shape, splat_radius: int):
+    """Chunked vectorized splatting: one scatter-add per point chunk covering
+    all (2r+1)^3 offsets at once (a per-offset Python loop produced 125
+    scatter ops — a huge XLA graph that took minutes to compile per grid
+    shape)."""
     nx, ny, nz = grid_shape
     n_cells = nx * ny * nz
     inv_v = 1.0 / voxel_size
-    base = jnp.floor((points - origin) * inv_v).astype(jnp.int32)  # (N, 3)
     sigma2 = (voxel_size * splat_radius) ** 2
+    offs = jnp.array(
+        [
+            (dx, dy, dz)
+            for dx in range(-splat_radius, splat_radius + 1)
+            for dy in range(-splat_radius, splat_radius + 1)
+            for dz in range(-splat_radius, splat_radius + 1)
+        ],
+        jnp.int32,
+    )  # (K, 3)
 
-    sdf_acc = jnp.zeros((n_cells,), jnp.float32)
-    w_acc = jnp.zeros((n_cells,), jnp.float32)
+    chunk = 65536
+    n = points.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        # Padded points park far outside the grid -> zero weight everywhere.
+        points = jnp.concatenate([points, jnp.full((pad, 3), -1e6, jnp.float32)])
+        normals = jnp.concatenate([normals, jnp.zeros((pad, 3), jnp.float32)])
+    n_chunks = points.shape[0] // chunk
 
-    offsets = [
-        (dx, dy, dz)
-        for dx in range(-splat_radius, splat_radius + 1)
-        for dy in range(-splat_radius, splat_radius + 1)
-        for dz in range(-splat_radius, splat_radius + 1)
-    ]
-    for off in offsets:
-        vox = base + jnp.array(off, jnp.int32)
+    def body(carry, c):
+        sdf_acc, w_acc = carry
+        p = jax.lax.dynamic_slice_in_dim(points, c * chunk, chunk, 0)
+        nrm = jax.lax.dynamic_slice_in_dim(normals, c * chunk, chunk, 0)
+        base = jnp.floor((p - origin) * inv_v).astype(jnp.int32)  # (C, 3)
+        vox = base[:, None, :] + offs[None, :, :]  # (C, K^3, 3)
         in_grid = (
-            (vox[:, 0] >= 0) & (vox[:, 0] < nx)
-            & (vox[:, 1] >= 0) & (vox[:, 1] < ny)
-            & (vox[:, 2] >= 0) & (vox[:, 2] < nz)
+            (vox[..., 0] >= 0) & (vox[..., 0] < nx)
+            & (vox[..., 1] >= 0) & (vox[..., 1] < ny)
+            & (vox[..., 2] >= 0) & (vox[..., 2] < nz)
         )
         center = origin + (vox.astype(jnp.float32) + 0.5) * voxel_size
-        d = center - points
-        plane_dist = jnp.sum(d * normals, axis=1)
-        w = jnp.exp(-jnp.sum(d * d, axis=1) / (2.0 * sigma2))
+        d = center - p[:, None, :]
+        plane_dist = jnp.sum(d * nrm[:, None, :], axis=-1)
+        w = jnp.exp(-jnp.sum(d * d, axis=-1) / (2.0 * sigma2))
         w = jnp.where(in_grid, w, 0.0)
-        flat = jnp.clip(vox[:, 0], 0, nx - 1) * (ny * nz) + jnp.clip(
-            vox[:, 1], 0, ny - 1
-        ) * nz + jnp.clip(vox[:, 2], 0, nz - 1)
-        sdf_acc = sdf_acc.at[flat].add(plane_dist * w)
-        w_acc = w_acc.at[flat].add(w)
+        flat = (
+            jnp.clip(vox[..., 0], 0, nx - 1) * (ny * nz)
+            + jnp.clip(vox[..., 1], 0, ny - 1) * nz
+            + jnp.clip(vox[..., 2], 0, nz - 1)
+        ).reshape(-1)
+        sdf_acc = sdf_acc.at[flat].add((plane_dist * w).reshape(-1))
+        w_acc = w_acc.at[flat].add(w.reshape(-1))
+        return (sdf_acc, w_acc), None
+
+    init = (jnp.zeros((n_cells,), jnp.float32), jnp.zeros((n_cells,), jnp.float32))
+    (sdf_acc, w_acc), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
 
     sdf = jnp.where(w_acc > 1e-12, sdf_acc / jnp.maximum(w_acc, 1e-12), 0.0)
     return sdf.reshape(grid_shape), w_acc.reshape(grid_shape)
@@ -102,8 +124,11 @@ def fuse_point_normal_sdf(
 
     lo = points.min(axis=0) - padding_voxels * voxel_size
     hi = points.max(axis=0) + padding_voxels * voxel_size
+    # Bucket each grid dim to a multiple of 16 so rooms of similar size share
+    # compiled fusion/extraction programs (padding voxels carry zero weight).
     grid_shape = tuple(
-        int(x) for x in np.maximum(np.ceil((hi - lo) / voxel_size).astype(int) + 1, 2)
+        int(-(-max(int(x), 2) // 16) * 16)
+        for x in np.ceil((hi - lo) / voxel_size).astype(int) + 1
     )
     sdf, weight = _fuse(
         jnp.asarray(points),

@@ -13,6 +13,9 @@ from ipcgen_tpu.preprocess.loader import S3DISLoader, preprocess_room
 
 
 def main(argv=None):
+    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="S3DIS data preprocessing")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--area_name", type=str, default=None)

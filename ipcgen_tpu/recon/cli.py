@@ -114,6 +114,9 @@ def reconstruct_room(
 
 
 def main(argv=None):
+    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="S3DIS surface reconstruction")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--data_path", type=str, required=True,

@@ -335,19 +335,15 @@ class S3DISSimulator:
 
 def _enable_compilation_cache(config: Dict[str, Any]) -> None:
     """Persistent XLA compilation cache: the fused scan compiles once per
-    (profile, waypoint-count, mesh-size-class) — caching it on disk removes
+    (profile, waypoint-count, mesh-size-bucket) — caching it on disk removes
     the ~1-2 min first-room compile from every later process (the batch
     driver already amortizes it within a process)."""
-    cache_dir = config.get("compilation_cache_dir", "~/.cache/ipcgen_tpu_xla")
-    if not cache_dir:
+    cache_dir = config.get("compilation_cache_dir", None)
+    if cache_dir == "":
         return
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", str(Path(cache_dir).expanduser())
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(cache_dir)
 
 
 # ---------------------------------------------------------------------------
