@@ -155,7 +155,9 @@ def marching_tetrahedra(grid: SdfGrid, min_weight: float = 1e-3,
     """
     sdf = grid.sdf
     valid = grid.valid(min_weight)
-    active_map = np.asarray(_classify_cubes(sdf, valid))
+    from ipcgen_tpu.utils.host import to_host
+
+    active_map = to_host(_classify_cubes(sdf, valid))
     ij = np.argwhere(active_map)  # (A, 3)
     if len(ij) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
@@ -165,14 +167,16 @@ def marching_tetrahedra(grid: SdfGrid, min_weight: float = 1e-3,
     origin = jnp.asarray(grid.origin)
     for s in range(0, len(ij), chunk):
         part = ij[s : s + chunk]
-        pad = (-len(part)) % 256
+        # Every chunk pads to the SAME static size: _extract_active compiles
+        # once per (grid shape, chunk) instead of once per remainder length.
+        pad = chunk - len(part) if len(ij) > chunk else (-len(part)) % 256
         if pad:
             part = np.concatenate([part, np.tile(part[-1:], (pad, 1))])
         tris, mask = _extract_active(
             sdf, jnp.asarray(part.astype(np.int32)), origin, grid.voxel_size
         )
         tris = np.asarray(tris)
-        mask = np.array(mask)  # writable host copy (padding rows cleared below)
+        mask = to_host(mask).copy()  # writable host copy (padding cleared below)
         if pad:
             mask[len(part) - pad :] = False
         sel = np.nonzero(mask)

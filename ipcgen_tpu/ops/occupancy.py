@@ -76,5 +76,7 @@ def obstacle_mask(
         backend=backend,
         t_max=float(robot_radius),
     )
-    hit_any = np.asarray(res.hit).reshape(len(cells), k).any(axis=1)
+    from ipcgen_tpu.utils.host import to_host
+
+    hit_any = to_host(res.hit).reshape(len(cells), k).any(axis=1)
     return hit_any

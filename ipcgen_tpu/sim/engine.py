@@ -96,7 +96,9 @@ class RaycastEngineCPU(RaycastEngineBase):
 
     def _raycast(self, origins, dirs, asset):
         res = raycast_asset_xla(origins, dirs, asset)
-        return np.asarray(res.t), np.asarray(res.hit), np.asarray(res.points)
+        from ipcgen_tpu.utils.host import to_host
+
+        return np.asarray(res.t), to_host(res.hit), np.asarray(res.points)
 
 
 class RaycastEngineTPU(RaycastEngineBase):
@@ -117,7 +119,9 @@ class RaycastEngineTPU(RaycastEngineBase):
             from ipcgen_tpu.ops.raycast_pallas import raycast_asset_pallas
 
             res = raycast_asset_pallas(origins, dirs, asset, interpret=self.interpret)
-        return np.asarray(res.t), np.asarray(res.hit), np.asarray(res.points)
+        from ipcgen_tpu.utils.host import to_host
+
+        return np.asarray(res.t), to_host(res.hit), np.asarray(res.points)
 
 
 # Drop-in alias for reference import sites (raycast_engine/__init__.py:10-14)

@@ -46,7 +46,9 @@ class ScanBatch(NamedTuple):
 
     def frame_arrays(self, w: int):
         """Compact one waypoint's hits to numpy (host export)."""
-        m = np.asarray(self.mask[w])
+        from ipcgen_tpu.utils.host import to_host
+
+        m = to_host(self.mask[w])
         return (
             np.asarray(self.points[w])[m],
             np.asarray(self.incident_angles[w])[m],
@@ -59,10 +61,12 @@ class ScanBatch(NamedTuple):
         attached TPUs; exporting the whole batch at once is ~40x fewer
         transfers for a 40-frame trajectory.
         """
+        from ipcgen_tpu.utils.host import to_host
+
         return (
             np.asarray(self.points),
             np.asarray(self.incident_angles),
-            np.asarray(self.mask),
+            to_host(self.mask),
         )
 
 
