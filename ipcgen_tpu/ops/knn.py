@@ -35,14 +35,17 @@ def _pad_rows(x: jnp.ndarray, block: int, value: float) -> jnp.ndarray:
 
 
 def _bucket_rows(x: jnp.ndarray, block: int, value: float) -> jnp.ndarray:
-    """Pad rows to a power-of-two bucket (>= block multiple).
+    """Pad rows to a (8..15) * 2^j block-multiple bucket (<= ~14% padding).
 
     Callers pass varying row counts (per-frame hit counts differ each frame);
     bucketing collapses them onto a handful of padded shapes so the jitted
-    scan compiles once per bucket instead of once per frame.
+    scan compiles once per bucket instead of once per row count.
     """
-    n = max(x.shape[0], 1)
-    target = max(block, 1 << (n - 1).bit_length())
+    n_blocks = max(1, -(-x.shape[0] // block))
+    if n_blocks > 8:
+        step = 1 << (n_blocks - 1).bit_length() - 3
+        n_blocks = -(-n_blocks // step) * step
+    target = n_blocks * block
     pad = target - x.shape[0]
     if pad == 0:
         return x
