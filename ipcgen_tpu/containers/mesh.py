@@ -6,7 +6,7 @@ structure lives in ``ipcgen_tpu.ops.scene_asset``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Union
 

@@ -6,7 +6,7 @@ over the numpy ``TriMesh`` instead of Open3D geometry.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 

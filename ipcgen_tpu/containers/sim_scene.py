@@ -18,7 +18,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ipcgen_tpu.containers.sim_frame import S3DISSimFrame, ScanQuality
+from ipcgen_tpu.containers.sim_frame import S3DISSimFrame
 from ipcgen_tpu.io.ply import write_labeled_ply, write_point_cloud
 from ipcgen_tpu.utils.json_utils import NumpyEncoder
 

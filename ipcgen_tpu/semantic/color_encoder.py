@@ -7,7 +7,7 @@ vectorized encode/decode (the reference decodes with a Python double loop).
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 
