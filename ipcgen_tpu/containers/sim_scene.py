@@ -380,7 +380,11 @@ class S3DISSimScene:
     def _load_s3dis_txt_pointcloud(file_path: str):
         """S3DIS txt: 'x y z r g b [label]' rows (reference: :483-503)."""
         try:
-            data = np.loadtxt(file_path)
+            from ipcgen_tpu.utils import native
+
+            data = native.parse_float_table(file_path)
+            if data is None:
+                data = np.loadtxt(file_path)
             if data.ndim != 2 or data.shape[1] < 6:
                 return None, None
             points = data[:, :3]

@@ -87,6 +87,11 @@ class S3DISAnnotationLoader:
     def _load_annotation_file(self, file_path: str) -> np.ndarray:
         """Tolerant parse of 'x y z [r g b ...]' rows (reference: :112-142)."""
         try:
+            from ipcgen_tpu.utils import native
+
+            data = native.parse_float_table(file_path)
+            if data is not None and data.ndim == 2 and data.shape[1] >= 3:
+                return data[:, :3].astype(np.float64)
             try:
                 data = np.loadtxt(file_path, usecols=(0, 1, 2), comments="#", ndmin=2)
                 return data[:, :3].astype(np.float64)
