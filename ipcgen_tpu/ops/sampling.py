@@ -33,7 +33,12 @@ def _sample(key, v0, e1, e2, cum_area, n: int):
 def sample_points_on_mesh(
     mesh, n: int, key: Optional[jax.Array] = None
 ) -> np.ndarray:
-    """Sample ``n`` points uniformly by area from a TriMesh surface."""
+    """Sample ``n`` points uniformly by area from a TriMesh surface.
+
+    Triangle arrays are padded to a coarse bucket (zero-probability repeats
+    of the last triangle) so per-mesh triangle counts don't each trigger a
+    fresh XLA compile.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     corners = mesh.triangle_corners().astype(np.float32)
@@ -44,6 +49,17 @@ def sample_points_on_mesh(
     cum = np.cumsum(areas)
     if cum[-1] <= 0:
         raise ValueError("sample_points_on_mesh: degenerate mesh (zero area).")
+    t = len(v0)
+    if t > 8:  # 1/8-pow2 bucket (same scheme as the scene asset)
+        step = 1 << max((t - 1).bit_length() - 3, 0)
+        target = -(-t // step) * step
+        pad = target - t
+        if pad:
+            v0 = np.concatenate([v0, np.repeat(v0[-1:], pad, axis=0)])
+            e1 = np.concatenate([e1, np.repeat(e1[-1:], pad, axis=0)])
+            e2 = np.concatenate([e2, np.repeat(e2[-1:], pad, axis=0)])
+            # cumulative area stays flat over the padding -> zero probability
+            cum = np.concatenate([cum, np.repeat(cum[-1:], pad)])
     pts = _sample(
         key,
         jnp.asarray(v0),
