@@ -254,6 +254,84 @@ def _sharded_scan_core(mesh: Mesh, ray_axis: str, max_range: float):
     return core
 
 
+def sharded_raycast_2d(
+    origins,
+    dirs,
+    asset: SceneAsset,
+    mesh: Mesh,
+    ray_axis: str = "rays",
+    tri_axis: str = "tris",
+):
+    """Combined sharding over a 2-D device mesh: rays over ``ray_axis`` (DP)
+    AND triangle blocks over ``tri_axis`` (TP analog).
+
+    Each device intersects its ray shard against its block shard; the global
+    nearest hit per ray combines with an ``all_gather`` + argmin over the
+    triangle axis only (rays never move).
+    """
+    n_ray_shards = mesh.shape[ray_axis]
+    n_tri_shards = mesh.shape[tri_axis]
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    origins_p, dirs_p, n = _pad_rays(origins, dirs, n_ray_shards)
+    asset_p = _shard_asset_blocks(asset, n_tri_shards)
+    tb = asset_p.block_size
+    shard_nb = asset_p.num_blocks // n_tri_shards
+
+    in_specs = (
+        P(ray_axis),  # origins
+        P(ray_axis),  # dirs
+        P(tri_axis),  # tri_data (rays replicated across tri_axis, blocks across ray_axis)
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(ray_axis), P(ray_axis)), check_vma=False,
+    )
+    def _shard_fn(o, d, tri_data):
+        from ipcgen_tpu.ops.geometry import moller_trumbore_components
+
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
+        def body(carry, b):
+            best_t, best_i = carry
+            blk = tri_data[b]
+            t = moller_trumbore_components(
+                ox, oy, oz, dx, dy, dz,
+                blk[0][None, :], blk[1][None, :], blk[2][None, :],
+                blk[3][None, :], blk[4][None, :], blk[5][None, :],
+                blk[6][None, :], blk[7][None, :], blk[8][None, :],
+            )
+            tmin = jnp.min(t, axis=1)
+            targ = jnp.argmin(t, axis=1).astype(jnp.int32) + b * tb
+            take = tmin < best_t
+            return (
+                jnp.where(take, tmin, best_t),
+                jnp.where(take, targ, best_i),
+            ), None
+
+        init = (
+            jnp.full(o.shape[0], jnp.inf, jnp.float32),
+            jnp.full(o.shape[0], -1, jnp.int32),
+        )
+        (t_local, slot_local), _ = jax.lax.scan(
+            body, init, jnp.arange(tri_data.shape[0])
+        )
+        tri_id = jax.lax.axis_index(tri_axis)
+        slot_global = jnp.where(
+            slot_local >= 0, slot_local + tri_id * shard_nb * tb, -1
+        )
+        t_all = jax.lax.all_gather(t_local, tri_axis)  # (S_tri, R_shard)
+        slot_all = jax.lax.all_gather(slot_global, tri_axis)
+        winner = jnp.argmin(t_all, axis=0)
+        r_idx = jnp.arange(t_all.shape[1])
+        return t_all[winner, r_idx], slot_all[winner, r_idx]
+
+    t, slot = jax.jit(_shard_fn)(origins_p, dirs_p, asset_p.tri_data)
+    return finalize_result(origins, dirs, t[:n], slot[:n], asset_p)
+
+
 def scan_waypoints_sharded(
     asset: SceneAsset,
     intrinsics,

@@ -94,3 +94,18 @@ def test_2d_mesh_factoring():
     mesh = make_device_mesh(8, ("dp", "tp"))
     assert mesh.shape["dp"] * mesh.shape["tp"] == 8
     assert mesh.shape["tp"] >= 2
+
+
+def test_2d_sharded_raycast_matches_single_device(asset):
+    from ipcgen_tpu.parallel.shard import sharded_raycast_2d
+
+    origins, dirs = _rays(200)
+    mesh = make_device_mesh(8, ("rays", "tris"))  # 4x2 or 2x4 factoring
+    res_2d = sharded_raycast_2d(origins, dirs, asset, mesh)
+    res_single = raycast_asset_xla(origins, dirs, asset)
+    np.testing.assert_allclose(
+        np.asarray(res_2d.t), np.asarray(res_single.t), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_2d.tri_id), np.asarray(res_single.tri_id)
+    )
