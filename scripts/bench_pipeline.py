@@ -94,6 +94,9 @@ def main():
     rng = np.random.default_rng(0)
 
     from ipcgen_tpu.config import PipelineConfig
+    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = PipelineConfig()
     cfg.data.data_root = str(data_root)

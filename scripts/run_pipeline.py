@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--stages", default="preprocess,recon,sim,bbox,eval")
     args = ap.parse_args(argv)
 
+    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = PipelineConfig.load(args.config)
     if args.area:
         cfg.data.area_name = args.area
