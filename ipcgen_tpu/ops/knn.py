@@ -34,16 +34,19 @@ def _pad_rows(x: jnp.ndarray, block: int, value: float) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], axis=0)
 
 
-def _bucket_rows(x: jnp.ndarray, block: int, value: float) -> jnp.ndarray:
-    """Pad rows to a (8..15) * 2^j block-multiple bucket (<= ~14% padding).
+def _bucket_rows(x: jnp.ndarray, block: int, value: float,
+                 granularity: int = 4) -> jnp.ndarray:
+    """Pad rows to a (granularity..2g-1) * 2^j block-multiple bucket.
 
     Callers pass varying row counts (per-frame hit counts differ each frame);
     bucketing collapses them onto a handful of padded shapes so the jitted
     scan compiles once per bucket instead of once per row count.
     """
     n_blocks = max(1, -(-x.shape[0] // block))
-    if n_blocks > 8:
-        step = 1 << (n_blocks - 1).bit_length() - 3
+    if n_blocks > granularity:
+        step = 1 << max(
+            (n_blocks - 1).bit_length() - granularity.bit_length() + 1, 0
+        )
         n_blocks = -(-n_blocks // step) * step
     target = n_blocks * block
     pad = target - x.shape[0]
@@ -106,11 +109,12 @@ def _nn_1_padded(
 def nearest_neighbor_indices(
     queries, refs, q_block: int = 1024, r_block: int = 32768
 ) -> np.ndarray:
-    # r_block sizes the (q_block, r_block) distance tile: large enough that
-    # million-point transfers stay at a few tens of thousands of scan steps
-    # (tiny chunks made step-count, not FLOPs, the bottleneck), small enough
-    # that the tile fits comfortably in VMEM-adjacent working memory.
     """Index of the nearest reference point for every query point.
+
+    ``r_block`` sizes the (q_block, r_block) distance tile: large enough that
+    million-point transfers stay at a few tens of thousands of scan steps
+    (tiny chunks made step-count, not FLOPs, the bottleneck), small enough
+    that the tile stays comfortably in working memory.
 
     Parameters
     ----------
@@ -131,7 +135,7 @@ def nearest_neighbor_indices(
     q_block = min(q_block, max(8, 1 << (n - 1).bit_length()))
     r_block = min(r_block, max(8, 1 << (refs.shape[0] - 1).bit_length()))
     qp = _bucket_rows(queries, q_block, 0.0)
-    rp = _pad_rows(refs, r_block, _PAD_LARGE)
+    rp = _bucket_rows(refs, r_block, _PAD_LARGE)
     idx, _ = _nn_1_padded(qp, rp, q_block, r_block)
     idx = np.asarray(idx[:n])
     return np.minimum(idx, refs.shape[0] - 1).astype(np.int32)
@@ -205,9 +209,8 @@ def knn(
     if exact is None:
         exact = m <= 65536
     q_block = min(q_block, max(8, 1 << (n - 1).bit_length()))
-    r_block = max(8, 128)
     qp = _bucket_rows(queries, q_block, 0.0)
-    rp = _pad_rows(refs, r_block, _PAD_LARGE)
+    rp = _bucket_rows(refs, 128, _PAD_LARGE)
     idx, d2 = _knn_padded(qp, rp, k_eff, q_block, bool(exact))
     idx = np.asarray(idx[:n])
     d2 = np.asarray(d2[:n])

@@ -124,10 +124,10 @@ def fuse_point_normal_sdf(
 
     lo = points.min(axis=0) - padding_voxels * voxel_size
     hi = points.max(axis=0) + padding_voxels * voxel_size
-    # Bucket each grid dim to a multiple of 16 so rooms of similar size share
+    # Bucket each grid dim to a multiple of 32 so rooms of similar size share
     # compiled fusion/extraction programs (padding voxels carry zero weight).
     grid_shape = tuple(
-        int(-(-max(int(x), 2) // 16) * 16)
+        int(-(-max(int(x), 2) // 32) * 32)
         for x in np.ceil((hi - lo) / voxel_size).astype(int) + 1
     )
     sdf, weight = _fuse(
