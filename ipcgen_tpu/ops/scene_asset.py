@@ -111,14 +111,14 @@ class SceneAsset:
         return lo, hi
 
 
-def _bucket_count(n: int, granularity: int = 2) -> int:
+def _bucket_count(n: int, granularity: int = 4) -> int:
     """Round up to the next (granularity..2*granularity-1) * 2^j bucket.
 
     Scene sizes vary per room; every distinct block count is a distinct
     static shape for the raycast kernel (a fresh ~40 s XLA compile).  This
     bucketing caps padding waste at ~1/granularity while collapsing all room
-    sizes onto a handful of compiled programs.  The default granularity of 2
-    (power-of-two-ish steps) trades up to ~50% padded blocks for maximal
+    sizes onto a handful of compiled programs.  The default granularity of 4
+    trades up to ~25% padded blocks for
     program reuse — padded blocks carry NaN AABBs, so the Pallas kernel
     skips them at the super level for a few cycles each.
     """
