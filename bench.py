@@ -92,7 +92,6 @@ def _numpy_culled_raycast(origins, dirs, asset, t_max, tile=32):
     tri_data = np.asarray(asset.tri_data)  # (NB, 16, TB)
     blo = np.asarray(asset.block_lo)
     bhi = np.asarray(asset.block_hi)
-    nb, _, tb = tri_data.shape
     n = len(origins)
     best_t = np.full(n, np.inf, np.float32)
     for s in range(0, n, tile):

@@ -89,7 +89,6 @@ def main():
 
     # 32-line style scan pattern from the room center
     n = args.rays
-    rng = np.random.default_rng(1)
     phis = np.tile(np.linspace(0, 2 * np.pi, n // 32, endpoint=False), 32)
     thetas = np.repeat(np.deg2rad(np.linspace(15, -20, 32)), n // 32)
     dirs = np.stack(
