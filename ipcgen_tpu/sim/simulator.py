@@ -197,13 +197,30 @@ class S3DISSimulator:
 
         poses = waypoints_to_pose_batch(waypoints)
         self.rng_key, scan_key = jax.random.split(self.rng_key)
-        batch = scan_waypoints(
-            self.scene_asset,
-            self.lidar_config,
-            poses,
-            key=scan_key,
-            backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
-        )
+        # Multi-chip ray-DP is opt-in: the production topology for room
+        # batches is room-level DP with the per-chip Pallas kernel; sharding
+        # one room's rays across chips (XLA core per shard) is for
+        # single-room latency or meshes exceeding one chip's HBM.
+        multichip = self.config.get("raycast_engine", {}).get("multichip", False)
+        if bool(multichip) and len(jax.devices()) > 1:
+            from ipcgen_tpu.parallel.shard import (
+                make_device_mesh,
+                scan_waypoints_sharded,
+            )
+
+            device_mesh = make_device_mesh()
+            batch = scan_waypoints_sharded(
+                self.scene_asset, self.lidar_config, poses, device_mesh,
+                key=scan_key,
+            )
+        else:
+            batch = scan_waypoints(
+                self.scene_asset,
+                self.lidar_config,
+                poses,
+                key=scan_key,
+                backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
+            )
         jax.block_until_ready(batch.t)
         all_points, all_angles, all_mask = batch.to_numpy()
 

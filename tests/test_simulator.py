@@ -170,3 +170,29 @@ def test_rays_intersect_mesh_contract(box_room):
         engine.rays_intersect_mesh(np.zeros((3, 5), np.float32), box_room)
     with pytest.raises(TypeError):
         engine.rays_intersect_mesh([[0] * 6], box_room)
+
+
+def test_simulator_multichip_scan(room_ply):
+    """multichip=True shards the scan over the virtual 8-device mesh."""
+    config = {
+        "raycast_engine": {"use_gpu": False, "backend": "xla", "multichip": True},
+        "trajectory": {"robot_height": 1.0},
+        "seed": 0,
+    }
+    sim = S3DISSimulator(config)
+    sim.lidar_config = _small_8line()
+    sim.load_scene(str(room_ply), "box_room")
+    wps, _ = sim.generate_trajectory(
+        (1.0, 1.5, 1.0), (3.0, 1.5, 1.0), PathType.STRAIGHT, num_waypoints=4
+    )
+    sharded_scene = sim.run_simulation(wps)
+
+    config2 = dict(config, raycast_engine={"use_gpu": False, "backend": "xla"})
+    sim2 = S3DISSimulator(config2)
+    sim2.lidar_config = _small_8line()
+    sim2.load_scene(str(room_ply), "box_room")
+    single_scene = sim2.run_simulation(wps)
+
+    assert sharded_scene.get_total_points() == single_scene.get_total_points()
+    for fa, fb in zip(sharded_scene.frames, single_scene.frames):
+        np.testing.assert_allclose(fa.points, fb.points, atol=1e-4)
