@@ -23,6 +23,19 @@ from ipcgen_tpu.io.ply import write_labeled_ply, write_point_cloud
 from ipcgen_tpu.utils.json_utils import NumpyEncoder
 
 
+def _transfer_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """1-NN for label/color transfer: exact for small problems, grid-hashed
+    above ~10^10 pairwise distances (ops.grid_nn; near-exact on surface data
+    and ~4x faster at room scale)."""
+    if len(queries) * len(refs) > 1e10:
+        from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
+
+        return nearest_neighbor_indices_grid(queries, refs)
+    from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+    return nearest_neighbor_indices(queries, refs)
+
+
 @dataclass
 class SimulationStats:
     """Aggregate simulation statistics (reference: s3dis_sim_scene.py:29-55)."""
@@ -331,9 +344,7 @@ class S3DISSimScene:
                 return self._get_default_colors_and_labels(len(points))
 
         try:
-            from ipcgen_tpu.ops.knn import nearest_neighbor_indices
-
-            idx = nearest_neighbor_indices(
+            idx = _transfer_nn(
                 np.asarray(points, dtype=np.float32),
                 np.asarray(self._s3dis_cache["points"], dtype=np.float32),
             )
@@ -416,9 +427,7 @@ class S3DISSimScene:
             if original_points is None or original_colors is None:
                 colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
             else:
-                from ipcgen_tpu.ops.knn import nearest_neighbor_indices
-
-                idx = nearest_neighbor_indices(
+                idx = _transfer_nn(
                     np.asarray(points, dtype=np.float32),
                     np.asarray(original_points, dtype=np.float32),
                 )

@@ -1,0 +1,43 @@
+"""Grid-hashed 1-NN: accuracy vs exact on surface clouds + fallback path."""
+
+import numpy as np
+
+from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
+from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+
+def _shell(rng, n, scale=(4.0, 3.0, 2.5)):
+    pts = rng.uniform(0, 1, (n, 3)).astype(np.float32) * scale
+    side = rng.integers(0, 6, n)
+    for ax in range(3):
+        pts[side == 2 * ax, ax] = 0.0
+        pts[side == 2 * ax + 1, ax] = scale[ax]
+    return pts
+
+
+def test_grid_nn_near_exact_on_surfaces(rng):
+    refs = _shell(rng, 20000)
+    queries = _shell(rng, 3000) + rng.normal(0, 0.004, (3000, 3)).astype(np.float32)
+    g = nearest_neighbor_indices_grid(queries, refs)
+    e = nearest_neighbor_indices(queries, refs)
+    d_g = np.linalg.norm(queries - refs[g], axis=1)
+    d_e = np.linalg.norm(queries - refs[e], axis=1)
+    # Distances essentially identical (labels therefore identical)
+    assert np.mean(d_g / np.maximum(d_e, 1e-9)) < 1.01
+    assert np.percentile(d_g - d_e, 99) < 5e-3
+
+
+def test_grid_nn_fallback_for_far_queries(rng):
+    refs = _shell(rng, 5000)
+    # Queries far outside every grid cell force the exact fallback
+    far = rng.uniform(50, 60, (20, 3)).astype(np.float32)
+    g = nearest_neighbor_indices_grid(far, refs)
+    e = nearest_neighbor_indices(far, refs)
+    d_g = np.linalg.norm(far - refs[g], axis=1)
+    d_e = np.linalg.norm(far - refs[e], axis=1)
+    np.testing.assert_allclose(d_g, d_e, rtol=1e-5)
+
+
+def test_grid_nn_empty_queries(rng):
+    refs = _shell(rng, 100)
+    assert nearest_neighbor_indices_grid(np.zeros((0, 3), np.float32), refs).shape == (0,)
