@@ -1,7 +1,18 @@
 """TPU compute kernels (XLA + Pallas).
 
-Modules are imported lazily by callers to keep import cost low; the most used
-entry points are re-exported here.
+Heavy modules import lazily at call sites; the most used entry points are
+re-exported here.  Full inventory:
+
+- ``raycast`` / ``raycast_pallas`` : ray/mesh intersection (XLA oracle +
+  Pallas TPU kernel over the 2-level SceneAsset)
+- ``scene_asset``                  : Morton-blocked HBM-resident scene build
+- ``geometry``                     : Möller–Trumbore + slab-test math
+- ``knn`` / ``grid_nn``            : tiled exact k-NN / grid-hashed 1-NN
+- ``normals`` / ``outliers``       : PCA normals, statistical outlier removal
+- ``metrics``                      : MMD / Chamfer / Hausdorff / density
+- ``sdf`` / ``marching``           : SDF fusion + marching tetrahedra
+- ``sampling``                     : area-weighted mesh surface sampling
+- ``occupancy``                    : probe-ray free-space classification
 """
 
 from ipcgen_tpu.ops.knn import knn, nearest_neighbor_indices  # noqa: F401
