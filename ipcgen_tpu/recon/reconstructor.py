@@ -28,6 +28,19 @@ from ipcgen_tpu.ops.marching import marching_tetrahedra, weld_triangle_soup
 from ipcgen_tpu.ops.sdf import fuse_point_normal_sdf
 
 
+def _surface_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """Surface-to-surface 1-NN: grid-hashed above ~10^10 pairs (mesh
+    vertices/centroids lie on the surface the input points sample), exact
+    tiled otherwise."""
+    if len(queries) * len(refs) > 1e10:
+        from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
+
+        return nearest_neighbor_indices_grid(queries, refs)
+    from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+    return nearest_neighbor_indices(queries, refs)
+
+
 class SurfaceReconstructor:
     """Core point+normal -> TriMesh reconstruction."""
 
@@ -139,10 +152,8 @@ class SurfaceReconstructor:
         wound triangles)."""
         if mesh.num_triangles == 0:
             return
-        from ipcgen_tpu.ops.knn import nearest_neighbor_indices
-
         centroids = mesh.triangle_corners().mean(axis=1).astype(np.float32)
-        idx = nearest_neighbor_indices(centroids, points)
+        idx = _surface_nn(centroids, points)
         target = normals[idx]
         fn = mesh.face_normals()
         flip = np.sum(fn * target, axis=1) < 0
@@ -155,11 +166,7 @@ class SurfaceReconstructor:
                          ) -> np.ndarray:
         """1-NN color texture transfer (replaces nksr.fields.PCNNField,
         reference: s3dis_nksr_reconstructor.py:84-87)."""
-        from ipcgen_tpu.ops.knn import nearest_neighbor_indices
-
-        idx = nearest_neighbor_indices(
-            mesh.vertices.astype(np.float32), points.astype(np.float32)
-        )
+        idx = _surface_nn(mesh.vertices.astype(np.float32), points.astype(np.float32))
         return np.asarray(colors)[idx]
 
 
