@@ -385,8 +385,22 @@ def load_default_config() -> Dict[str, Any]:
 
 
 def create_simulator_from_config(config_path: Optional[str] = None) -> S3DISSimulator:
-    """Simulator from a config file (reference: :463-479)."""
+    """Simulator from a config file (reference: :463-479).
+
+    Accepts both the reference-style flat dict and the typed PipelineConfig
+    tree (configs/default_config.yaml) — the latter is converted through
+    PipelineConfig.simulator_config().
+    """
     config = load_default_config() if config_path is None else load_config(config_path)
+    if "simulation" in config and "raycast_engine" not in config:
+        from ipcgen_tpu.config import PipelineConfig
+
+        tree = PipelineConfig.from_dict(config)
+        return S3DISSimulator(
+            tree.simulator_config(),
+            use_dense_lidar=tree.simulation.use_dense_lidar,
+            use_blk2go=tree.simulation.use_blk2go,
+        )
     return S3DISSimulator(config)
 
 

@@ -168,3 +168,19 @@ def test_recon_cli_end_to_end(tmp_path, rng):
     report = json.loads((scene_dir / "reconstruction_report.json").read_text())
     assert report["room_info"]["room"] == "office_1"
     assert (scene_dir / "reconstruction_summary.txt").exists()
+
+
+def test_create_simulator_from_pipeline_config(tmp_path):
+    from ipcgen_tpu.sim.simulator import create_simulator_from_config
+
+    cfg = PipelineConfig()
+    cfg.simulation.use_blk2go = True
+    cfg.data.area_name = "Area_3"
+    path = tmp_path / "pipe.yaml"
+    cfg.save(path)
+    sim = create_simulator_from_config(str(path))
+    assert sim.use_blk2go
+    assert sim.config["area"] == "Area_3"
+    # Defaults (no file) also work
+    sim2 = create_simulator_from_config(None)
+    assert sim2.lidar_config is not None
