@@ -1,0 +1,128 @@
+"""Exhaustive verification of the marching-tetrahedra case table.
+
+For every one of the 16 inside/outside sign configurations of a tetrahedron,
+the emitted triangles must (a) have the expected count (0/1/2), (b) have all
+vertices exactly on sign-change edges at the interpolated crossing, and
+(c) separate the inside corners from the outside corners.
+"""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ipcgen_tpu.ops.marching import _TET_EDGES, _TET_TRIS, _TETS, _extract_active
+from ipcgen_tpu.ops.sdf import SdfGrid
+
+
+def _expected_tri_count(mask):
+    n_inside = bin(mask).count("1")
+    if n_inside in (0, 4):
+        return 0
+    if n_inside in (1, 3):
+        return 1
+    return 2
+
+
+def test_case_table_counts():
+    for mask in range(16):
+        tris = _TET_TRIS[mask]
+        count = int((tris[:, 0] >= 0).sum())
+        assert count == _expected_tri_count(mask), mask
+
+
+def test_case_table_edges_are_sign_changes():
+    """Every referenced edge must connect an inside corner to an outside one."""
+    for mask in range(16):
+        inside = [(mask >> i) & 1 for i in range(4)]
+        for tri in _TET_TRIS[mask]:
+            if tri[0] < 0:
+                continue
+            for e in tri:
+                a, b = _TET_EDGES[e]
+                assert inside[a] != inside[b], (mask, e)
+
+
+def test_case_table_covers_all_crossing_edges():
+    """The union of edges used per case equals the full set of sign-change
+    edges (the surface patch must cut every crossing edge exactly once)."""
+    for mask in range(16):
+        inside = [(mask >> i) & 1 for i in range(4)]
+        crossing = {
+            e for e, (a, b) in enumerate(_TET_EDGES) if inside[a] != inside[b]
+        }
+        used = {
+            int(e)
+            for tri in _TET_TRIS[mask]
+            if tri[0] >= 0
+            for e in tri
+        }
+        assert used == crossing, (mask, used, crossing)
+
+
+def _extract_single_cube(corner_vals):
+    """Run _extract_active on a 2x2x2 grid with the given 8 corner values."""
+    sdf = np.zeros((2, 2, 2), np.float32)
+    # standard corner ordering from ops.marching._CORNERS
+    from ipcgen_tpu.ops.marching import _CORNERS
+
+    for val, (dx, dy, dz) in zip(corner_vals, _CORNERS):
+        sdf[dx, dy, dz] = val
+    tris, mask = _extract_active(
+        jnp.asarray(sdf),
+        jnp.zeros((1, 3), jnp.int32),
+        jnp.zeros(3, jnp.float32),
+        1.0,
+    )
+    tris = np.asarray(tris)[0]
+    mask = np.asarray(mask)[0]
+    return tris[mask]
+
+
+def test_interpolation_positions():
+    """A single inside corner at known values: crossing at the right spot."""
+    # Corner 0 inside at -1, everything else at +1 -> crossings at t = 0.5
+    vals = np.ones(8, np.float32)
+    vals[0] = -1.0
+    tris = _extract_single_cube(vals)
+    assert len(tris) >= 1
+    # With vals -1 / +1 the crossing sits at the midpoint of each tet edge
+    # from corner 0 (center (0.5, 0.5, 0.5)) to another corner center.
+    from ipcgen_tpu.ops.marching import _CORNERS
+
+    corners_pos = np.asarray(_CORNERS, np.float32) + 0.5
+    midpoints = (corners_pos[0] + corners_pos[1:]) / 2
+    verts = tris.reshape(-1, 3)
+    for v in verts:
+        assert np.min(np.linalg.norm(midpoints - v, axis=1)) < 1e-5, v
+
+
+def test_random_corner_signs_consistency(rng):
+    """Random cube corner values: every emitted vertex lies on a cube edge
+    with opposite-sign endpoints, at the linear zero crossing."""
+    from ipcgen_tpu.ops.marching import _CORNERS
+
+    corners_pos = (np.asarray(_CORNERS, np.float32) + 0.5)  # voxel size 1
+    for _ in range(50):
+        vals = rng.normal(size=8).astype(np.float32)
+        if not (np.any(vals < 0) and np.any(vals >= 0)):
+            continue
+        tris = _extract_single_cube(vals)
+        verts = tris.reshape(-1, 3)
+        for v in verts:
+            # find a cube edge whose crossing matches v
+            found = False
+            for i in range(8):
+                for j in range(8):
+                    if i >= j:
+                        continue
+                    if (vals[i] < 0) == (vals[j] < 0):
+                        continue
+                    t = vals[i] / (vals[i] - vals[j])
+                    p = corners_pos[i] + t * (corners_pos[j] - corners_pos[i])
+                    if np.linalg.norm(p - v) < 1e-4:
+                        found = True
+                        break
+                if found:
+                    break
+            assert found, (vals, v)
