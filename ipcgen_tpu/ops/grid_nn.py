@@ -187,3 +187,133 @@ def nearest_neighbor_indices_grid(
 
         result[unresolved] = nearest_neighbor_indices(queries[unresolved], refs)
     return result
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "k", "q_block"))
+def _grid_knn_core(
+    queries: jnp.ndarray,
+    refs_sorted: jnp.ndarray,
+    starts: jnp.ndarray,
+    lo: jnp.ndarray,
+    inv_h: jnp.ndarray,
+    dims: jnp.ndarray,
+    cap: int,
+    k: int,
+    q_block: int,
+):
+    """k-NN among the 2x2x2-cell candidates (up to 8*cap per query)."""
+    gx, gy, gz = dims[0], dims[1], dims[2]
+    n_cells = gx * gy * gz
+    m = refs_sorted.shape[0]
+    n_qt = queries.shape[0] // q_block
+    q_tiles = queries.reshape(n_qt, q_block, 3)
+    offs = jnp.array(
+        [[ox, oy, oz] for ox in (0, 1) for oy in (0, 1) for oz in (0, 1)],
+        jnp.int32,
+    )
+
+    def per_tile(q):
+        base = jnp.floor((q - lo) * inv_h - 0.5).astype(jnp.int32)
+        cand_d = []
+        cand_i = []
+        for o in range(8):
+            c = base + offs[o]
+            in_grid = (
+                (c[:, 0] >= 0) & (c[:, 0] < gx)
+                & (c[:, 1] >= 0) & (c[:, 1] < gy)
+                & (c[:, 2] >= 0) & (c[:, 2] < gz)
+            )
+            cid = jnp.clip(
+                c[:, 0] * (gy * gz) + c[:, 1] * gz + c[:, 2], 0, n_cells - 1
+            )
+            s = starts[cid]
+            e = starts[cid + 1]
+            idx = s[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+            valid = (idx < e[:, None]) & in_grid[:, None]
+            idx_c = jnp.clip(idx, 0, m - 1)
+            cand = refs_sorted[idx_c]
+            d2 = jnp.sum((q[:, None, :] - cand) ** 2, axis=-1)
+            cand_d.append(jnp.where(valid, d2, jnp.inf))
+            cand_i.append(idx_c)
+        all_d = jnp.concatenate(cand_d, axis=1)  # (B, 8*cap)
+        all_i = jnp.concatenate(cand_i, axis=1)
+        neg_top, sel = jax.lax.top_k(-all_d, k)
+        return jnp.take_along_axis(all_i, sel, axis=1).astype(jnp.int32), -neg_top
+
+    idx, d2 = jax.lax.map(per_tile, q_tiles)
+    return idx.reshape(-1, k), d2.reshape(-1, k)
+
+
+def knn_grid(
+    queries: np.ndarray,
+    refs: np.ndarray,
+    k: int,
+    cell_size: Optional[float] = None,
+    cap: int = 48,
+    q_block: int = 4096,
+    device_arrays: bool = False,
+):
+    """Grid-hashed approximate k-NN for dense self-joins (outlier removal /
+    normal estimation).  Candidates come from the 2x2x2 nearest cells
+    (<= 8*cap); the cell size adapts so a neighborhood holds well over ``k``
+    references.  Unresolved queries (fewer than k finite candidates) keep
+    +inf distances — callers treat those like any sparse neighborhood.
+
+    Returns (indices (N, k) int32, dists (N, k) float32 Euclidean).
+    """
+    queries = np.asarray(queries, dtype=np.float32)
+    refs = np.asarray(refs, dtype=np.float32)
+    n, m = len(queries), len(refs)
+    if n == 0:
+        return np.zeros((0, k), np.int32), np.zeros((0, k), np.float32)
+    if cell_size is None:
+        # Need ~4k candidates across the 8-cell neighborhood
+        cell_size = _choose_cell_size(refs, max(cap, k))
+    lo = refs.min(axis=0)
+    extent = np.maximum(refs.max(axis=0) - lo, 1e-6)
+    inv_h = 1.0 / cell_size
+    dims = np.maximum(np.ceil(extent * inv_h).astype(np.int64) + 1, 1)
+    gx, gy, gz = (int(d) for d in dims)
+    ref_cells = np.clip(np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1)
+    cid = ref_cells[:, 0] * (gy * gz) + ref_cells[:, 1] * gz + ref_cells[:, 2]
+    order = np.argsort(cid, kind="stable")
+    refs_sorted = refs[order]
+    starts = np.searchsorted(cid[order], np.arange(gx * gy * gz + 1))
+
+    starts_pad = _bucket_len(len(starts))
+    starts_b = np.concatenate(
+        [starts, np.full(starts_pad - len(starts), m, dtype=starts.dtype)]
+    )
+    m_pad = _bucket_len(m)
+    refs_b = np.concatenate([refs_sorted, np.full((m_pad - m, 3), 1e7, np.float32)])
+    n_pad = _bucket_len(-(-n // q_block)) * q_block
+    qp = (
+        np.concatenate([queries, np.full((n_pad - n, 3), lo - 10 * cell_size,
+                                         np.float32)])
+        if n_pad != n
+        else queries
+    )
+    idx_sorted, d2 = _grid_knn_core(
+        jnp.asarray(qp),
+        jnp.asarray(refs_b),
+        jnp.asarray(starts_b.astype(np.int32)),
+        jnp.asarray(lo, jnp.float32),
+        jnp.float32(inv_h),
+        jnp.asarray([gx, gy, gz], jnp.int32),
+        int(cap),
+        int(min(k, 8 * cap)),
+        int(q_block),
+    )
+    if device_arrays:
+        # Map sorted-ref slots back to original ids ON DEVICE and hand the
+        # caller jnp arrays — avoids a ~100MB host round trip per room when
+        # the results feed further device compute (normals PCA etc).
+        order_dev = jnp.asarray(order.astype(np.int32))
+        idx_dev = order_dev[jnp.clip(idx_sorted[:n], 0, m - 1)]
+        return idx_dev, d2[:n]
+    idx_sorted = np.asarray(idx_sorted[:n])
+    d2 = np.asarray(d2[:n])
+    idx = order[np.clip(idx_sorted, 0, m - 1)].astype(np.int32)
+    return idx, np.sqrt(np.maximum(np.where(np.isfinite(d2), d2, np.inf), 0.0)).astype(
+        np.float32
+    )

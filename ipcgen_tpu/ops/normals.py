@@ -90,9 +90,19 @@ def estimate_normals(
     if n == 0:
         return np.zeros((0, 3), dtype=np.float32)
     k = min(max_nn, n)
-    idx, dists = knn(points, points, k=k)
-    neighbors = jnp.asarray(points)[jnp.asarray(idx)]
-    valid = jnp.asarray(dists) <= radius
+    if n > 150_000:
+        # Grid-hashed self-join at room scale; results stay on device so the
+        # neighbor gather + PCA run without a host round trip.  Candidates
+        # beyond the radius (incl. +inf for sparse neighborhoods) are masked.
+        from ipcgen_tpu.ops.grid_nn import knn_grid
+
+        idx_dev, d2_dev = knn_grid(points, points, k=k, device_arrays=True)
+        neighbors = jnp.asarray(points)[idx_dev]
+        valid = d2_dev <= radius * radius
+    else:
+        idx, dists = knn(points, points, k=k)
+        neighbors = jnp.asarray(points)[jnp.asarray(idx)]
+        valid = jnp.asarray(dists) <= radius
     normals = np.array(_pca_normals(neighbors, valid))  # writable host copy
     if orient_towards is not None:
         to_view = np.asarray(orient_towards, dtype=np.float32) - points

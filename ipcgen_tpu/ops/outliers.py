@@ -36,9 +36,23 @@ def remove_statistical_outliers(
     if n <= nb_neighbors:
         return np.ones(n, dtype=bool), np.zeros(n, dtype=np.float32)
     # k+1 because the query set equals the reference set (self at distance 0).
-    _, dists = knn(points, points, k=nb_neighbors + 1)
-    mean_dists = dists[:, 1:].mean(axis=1)
-    mu = float(mean_dists.mean())
-    sigma = float(mean_dists.std())
+    if n > 150_000:
+        # Grid-hashed self-join at room scale (ops.grid_nn); points whose
+        # 2x2x2 neighborhood holds fewer than k references get +inf mean
+        # distance — they are isolated and flagged as outliers by definition.
+        # The per-point mean reduces on device; only (N,) floats come home.
+        import jax.numpy as jnp
+
+        from ipcgen_tpu.ops.grid_nn import knn_grid
+
+        _, d2_dev = knn_grid(points, points, k=nb_neighbors + 1,
+                             device_arrays=True)
+        mean_dists = np.asarray(jnp.mean(jnp.sqrt(d2_dev[:, 1:]), axis=1))
+    else:
+        _, dists = knn(points, points, k=nb_neighbors + 1)
+        mean_dists = dists[:, 1:].mean(axis=1)
+    finite = np.isfinite(mean_dists)
+    mu = float(mean_dists[finite].mean())
+    sigma = float(mean_dists[finite].std())
     threshold = mu + std_ratio * sigma
-    return mean_dists <= threshold, mean_dists
+    return finite & (mean_dists <= threshold), mean_dists
