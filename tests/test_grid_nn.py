@@ -41,3 +41,44 @@ def test_grid_nn_fallback_for_far_queries(rng):
 def test_grid_nn_empty_queries(rng):
     refs = _shell(rng, 100)
     assert nearest_neighbor_indices_grid(np.zeros((0, 3), np.float32), refs).shape == (0,)
+
+
+def test_knn_grid_matches_exact_on_surfaces(rng):
+    from ipcgen_tpu.ops.grid_nn import knn_grid
+    from ipcgen_tpu.ops.knn import knn
+
+    refs = _shell(rng, 20000)
+    queries = _shell(rng, 2000) + rng.normal(0, 0.004, (2000, 3)).astype(np.float32)
+    gi, gd = knn_grid(queries, refs, k=10)
+    ei, ed = knn(queries, refs, k=10)
+    finite = np.isfinite(gd).all(axis=1)
+    assert finite.mean() > 0.95  # dense surface: nearly all resolve in-grid
+    # Mean 10-NN distance per point matches the exact join closely
+    ratio = gd[finite].mean(axis=1) / np.maximum(ed[finite].mean(axis=1), 1e-9)
+    assert np.mean(ratio) < 1.02
+    assert np.percentile(ratio, 99) < 1.2
+
+
+def test_knn_grid_self_join_has_zero_first_column(rng):
+    from ipcgen_tpu.ops.grid_nn import knn_grid
+
+    pts = _shell(rng, 8000)
+    idx, d = knn_grid(pts, pts, k=5)
+    finite = np.isfinite(d[:, 0])
+    np.testing.assert_allclose(d[finite, 0], 0.0, atol=1e-5)
+    assert (idx[finite, 0] == np.arange(len(pts))[finite]).mean() > 0.99
+
+
+def test_knn_grid_device_arrays_mode(rng):
+    import jax.numpy as jnp
+
+    from ipcgen_tpu.ops.grid_nn import knn_grid
+
+    pts = _shell(rng, 6000)
+    idx_d, d2_d = knn_grid(pts, pts, k=4, device_arrays=True)
+    assert isinstance(idx_d, jnp.ndarray) and isinstance(d2_d, jnp.ndarray)
+    idx_h, d_h = knn_grid(pts, pts, k=4)
+    np.testing.assert_array_equal(np.asarray(idx_d), idx_h)
+    d_from_dev = np.sqrt(np.maximum(np.asarray(d2_d), 0.0))
+    mask = np.isfinite(d_h)
+    np.testing.assert_allclose(d_from_dev[mask], d_h[mask], atol=1e-4)
