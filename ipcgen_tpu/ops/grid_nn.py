@@ -307,8 +307,12 @@ def knn_grid(
     if device_arrays:
         # Map sorted-ref slots back to original ids ON DEVICE and hand the
         # caller jnp arrays — avoids a ~100MB host round trip per room when
-        # the results feed further device compute (normals PCA etc).
-        order_dev = jnp.asarray(order.astype(np.int32))
+        # the results feed further device compute (normals PCA etc).  The
+        # order table is padded to the bucketed ref length so the gather
+        # program is shared across rooms of similar size.
+        order_b = np.zeros(m_pad, np.int32)
+        order_b[:m] = order.astype(np.int32)
+        order_dev = jnp.asarray(order_b)
         idx_dev = order_dev[jnp.clip(idx_sorted[:n], 0, m - 1)]
         return idx_dev, d2[:n]
     idx_sorted = np.asarray(idx_sorted[:n])

@@ -94,16 +94,25 @@ def estimate_normals(
         # Grid-hashed self-join at room scale; results stay on device so the
         # neighbor gather + PCA run without a host round trip.  Candidates
         # beyond the radius (incl. +inf for sparse neighborhoods) are masked.
-        from ipcgen_tpu.ops.grid_nn import knn_grid
+        # The query side is padded to a bucketed length FIRST so every room
+        # of similar size reuses the same compiled gather/PCA programs —
+        # otherwise each room's distinct post-outlier count costs a fresh
+        # ~40-60 s XLA compile.
+        from ipcgen_tpu.ops.grid_nn import _bucket_len, knn_grid
 
-        idx_dev, d2_dev = knn_grid(points, points, k=k, device_arrays=True)
-        neighbors = jnp.asarray(points)[idx_dev]
+        n_pad = _bucket_len(-(-n // 4096)) * 4096
+        pts_pad = np.concatenate(
+            [points, np.full((n_pad - n, 3), 1e6, np.float32)]
+        ) if n_pad != n else points
+        idx_dev, d2_dev = knn_grid(pts_pad, points, k=k, device_arrays=True)
+        neighbors = jnp.asarray(pts_pad)[idx_dev]
         valid = d2_dev <= radius * radius
+        normals = np.array(_pca_normals(neighbors, valid)[:n])
     else:
         idx, dists = knn(points, points, k=k)
         neighbors = jnp.asarray(points)[jnp.asarray(idx)]
         valid = jnp.asarray(dists) <= radius
-    normals = np.array(_pca_normals(neighbors, valid))  # writable host copy
+        normals = np.array(_pca_normals(neighbors, valid))  # writable copy
     if orient_towards is not None:
         to_view = np.asarray(orient_towards, dtype=np.float32) - points
         flip = np.sum(normals * to_view, axis=1) < 0

@@ -41,13 +41,23 @@ def remove_statistical_outliers(
         # 2x2x2 neighborhood holds fewer than k references get +inf mean
         # distance — they are isolated and flagged as outliers by definition.
         # The per-point mean reduces on device; only (N,) floats come home.
+        import jax
         import jax.numpy as jnp
 
-        from ipcgen_tpu.ops.grid_nn import knn_grid
+        from ipcgen_tpu.ops.grid_nn import _bucket_len, knn_grid
 
-        _, d2_dev = knn_grid(points, points, k=nb_neighbors + 1,
+        # Pad queries to a bucketed length so rooms of similar size share
+        # one compiled program (distinct counts would each recompile).
+        n_pad = _bucket_len(-(-n // 4096)) * 4096
+        pts_pad = np.concatenate(
+            [points, np.full((n_pad - n, 3), 1e6, np.float32)]
+        ) if n_pad != n else points
+        _, d2_dev = knn_grid(pts_pad, points, k=nb_neighbors + 1,
                              device_arrays=True)
-        mean_dists = np.asarray(jnp.mean(jnp.sqrt(d2_dev[:, 1:]), axis=1))
+        mean_dev = jax.jit(
+            lambda d2: jnp.mean(jnp.sqrt(d2[:, 1:]), axis=1)
+        )(d2_dev)
+        mean_dists = np.asarray(mean_dev)[:n]
     else:
         _, dists = knn(points, points, k=nb_neighbors + 1)
         mean_dists = dists[:, 1:].mean(axis=1)
