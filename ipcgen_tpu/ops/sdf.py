@@ -124,10 +124,19 @@ def fuse_point_normal_sdf(
 
     lo = points.min(axis=0) - padding_voxels * voxel_size
     hi = points.max(axis=0) + padding_voxels * voxel_size
-    # Bucket each grid dim to a multiple of 32 so rooms of similar size share
-    # compiled fusion/extraction programs (padding voxels carry zero weight).
+    # Bucket each grid dim to {2,3}*2^j (>=32) so rooms of different sizes
+    # collapse onto a handful of compiled fusion/extraction programs — with
+    # multiples of 32 every distinct room extent recompiled the whole
+    # marching pipeline (~40-100 s). Padding voxels carry zero weight, and
+    # per-voxel work is cheap next to a recompile.
+    def _dim_bucket(d: int) -> int:
+        v = 32
+        while v < d:
+            v = v * 3 // 2 if (v & (v - 1)) == 0 else v * 4 // 3
+        return v
+
     grid_shape = tuple(
-        int(-(-max(int(x), 2) // 32) * 32)
+        _dim_bucket(max(int(x), 2))
         for x in np.ceil((hi - lo) / voxel_size).astype(int) + 1
     )
     sdf, weight = _fuse(
