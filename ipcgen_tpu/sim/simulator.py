@@ -335,6 +335,7 @@ class S3DISSimulator:
         num_waypoints: int = 20,
         output_dir: Optional[Path] = None,
         scene_name: Optional[str] = None,
+        save_visualizations: bool = True,
     ) -> S3DISSimScene:
         """Load -> auto trajectory -> simulate -> save (reference: :407-444)."""
         self.load_scene(scene_path, scene_name)
@@ -343,7 +344,8 @@ class S3DISSimulator:
         if output_dir is None:
             output_dir = Path("s3dis_auto_simulation_results")
         output_dir = Path(output_dir)
-        self.save_results(sim_scene, output_dir, waypoints)
+        self.save_results(sim_scene, output_dir, waypoints,
+                          save_visualizations=save_visualizations)
         analysis_file = output_dir / "trajectory_analysis.json"
         with open(analysis_file, "w", encoding="utf-8") as f:
             json.dump(analysis_info, f, indent=2, ensure_ascii=False)
@@ -442,7 +444,8 @@ def run_single_scene_simulation(
     if use_auto_trajectory:
         print(f"[Simulation] Using auto-generated trajectory for {scene_name}.")
         sim_scene = simulator.run_auto_simulation(
-            scene_path=scene_path, num_waypoints=num_waypoints, output_dir=output_dir
+            scene_path=scene_path, num_waypoints=num_waypoints,
+            output_dir=output_dir, save_visualizations=save_visualizations,
         )
     else:
         print(f"[Simulation] Using manual trajectory for {scene_name}.")

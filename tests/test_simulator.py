@@ -140,6 +140,8 @@ def test_simulator_auto_end_to_end(room_ply, tmp_path):
     sim.lidar_config = _small_8line()
     out = tmp_path / "auto_out"
     sim_scene = sim.run_auto_simulation(str(room_ply), num_waypoints=4, output_dir=out)
+    # save_visualizations defaults True on the auto path: PNGs must exist
+    assert (out / "visualizations").exists()
     assert sim_scene.get_total_frames() >= 20  # dense interpolation floor
     analysis = json.loads((out / "trajectory_analysis.json").read_text())
     assert analysis["total_candidates"] > 0
