@@ -26,7 +26,12 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> bool:
         path = Path(cache_dir or _DEFAULT_DIR).expanduser()
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Cache EVERYTHING, including sub-second eager ops: on the remote
+        # TPU link each tiny convert/slice/compare op costs ~0.5 s to
+        # compile, and a pipeline stage dispatches dozens of them — the
+        # uncached tail added ~60-100 s to every fresh process.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _enabled = True
         return True
     except Exception:
