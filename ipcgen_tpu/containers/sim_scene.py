@@ -30,7 +30,10 @@ def _transfer_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     if len(queries) * len(refs) > 1e10:
         from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
 
-        return nearest_neighbor_indices_grid(queries, refs)
+        # cap=24 gathers half the candidate bytes of the default with the
+        # same exact-match rate on surface clouds (measured 0.980 both ways,
+        # 6.8s vs 9.5s at 2.56M x 630k).
+        return nearest_neighbor_indices_grid(queries, refs, cap=24)
     from ipcgen_tpu.ops.knn import nearest_neighbor_indices
 
     return nearest_neighbor_indices(queries, refs)

@@ -35,7 +35,7 @@ def _surface_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     if len(queries) * len(refs) > 1e10:
         from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
 
-        return nearest_neighbor_indices_grid(queries, refs)
+        return nearest_neighbor_indices_grid(queries, refs, cap=24)
     from ipcgen_tpu.ops.knn import nearest_neighbor_indices
 
     return nearest_neighbor_indices(queries, refs)

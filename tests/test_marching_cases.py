@@ -126,3 +126,34 @@ def test_random_corner_signs_consistency(rng):
                 if found:
                     break
             assert found, (vals, v)
+
+
+def test_weld_negative_and_shared_vertices(rng):
+    from ipcgen_tpu.ops.marching import weld_triangle_soup
+
+    base = rng.uniform(-50, 50, (500, 3)).astype(np.float32)
+    tri_idx = rng.integers(0, len(base), (2000, 3))
+    ok = (tri_idx[:, 0] != tri_idx[:, 1]) & (tri_idx[:, 1] != tri_idx[:, 2]) \
+        & (tri_idx[:, 0] != tri_idx[:, 2])
+    tri_idx = tri_idx[ok]
+    soup = base[tri_idx]
+    verts, tris = weld_triangle_soup(soup)
+    assert len(tris) == len(tri_idx)
+    # Reconstructed soup must match the input exactly (identical positions weld)
+    np.testing.assert_allclose(verts[tris], soup, atol=1e-5)
+    # Vertex count equals the number of distinct base points actually used
+    assert len(verts) == len(np.unique(tri_idx))
+
+
+def test_weld_large_extent_fallback(rng):
+    """Extents beyond the 21-bit key range coarsen instead of overflowing."""
+    from ipcgen_tpu.ops.marching import weld_triangle_soup
+
+    base = rng.uniform(-40000, 40000, (50, 3)).astype(np.float32)
+    tri_idx = rng.integers(0, len(base), (200, 3))
+    soup = base[tri_idx]
+    verts, tris = weld_triangle_soup(soup)
+    # All emitted triangles reference valid vertices near the originals
+    assert verts[tris].shape == (len(tris), 3, 3)
+    d = np.abs(np.sort(verts[:, 0])[:, None] - np.sort(np.unique(base[:, 0]))[None, :])
+    assert d.min(axis=1).max() < 0.5  # coarsened tolerance still sane
