@@ -287,7 +287,14 @@ class S3DISSimScene:
                 import matplotlib.pyplot as plt
 
                 color = plt.cm.viridis(i / n_frames)[:3]
-                all_colors.append(np.tile(color, (len(frame.points), 1)))
+                # Build uint8 rows directly: tiling float64 across millions
+                # of points and re-converting in the writer costs ~1s/room.
+                c8 = np.clip(np.asarray(color) * 255.0 + 0.5, 0, 255).astype(
+                    np.uint8
+                )
+                all_colors.append(
+                    np.broadcast_to(c8, (len(frame.points), 3))
+                )
         if not all_points:
             return
         write_point_cloud(

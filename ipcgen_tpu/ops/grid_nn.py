@@ -176,15 +176,21 @@ def nearest_neighbor_indices_grid(
         int(cap),
         int(q_block),
     )
-    idx_sorted = np.asarray(idx_sorted[:n])
-    d2 = np.asarray(d2[:n])
-    result = order[np.clip(idx_sorted, 0, m - 1)].astype(np.int32)
+    # Fold the resolved-test into the index on device: downloading d2 just
+    # for an isfinite check doubled the D2H bytes (the slow direction on the
+    # remote link — ~3s per million-query call).
+    idx_enc = jax.jit(
+        lambda i, d: jnp.where(jnp.isfinite(d), i, -1)
+    )(idx_sorted, d2)
+    idx_enc = np.asarray(idx_enc[:n])
+    resolved = idx_enc >= 0
+    result = order[np.clip(idx_enc, 0, m - 1)].astype(np.int32)
 
     # Exact fallback for unresolved queries (empty 2x2x2 neighborhoods).
-    unresolved = ~np.isfinite(d2)
-    if unresolved.any():
+    if not resolved.all():
         from ipcgen_tpu.ops.knn import nearest_neighbor_indices
 
+        unresolved = ~resolved
         result[unresolved] = nearest_neighbor_indices(queries[unresolved], refs)
     return result
 
