@@ -336,19 +336,39 @@ class S3DISSimulator:
         output_dir: Optional[Path] = None,
         scene_name: Optional[str] = None,
         save_visualizations: bool = True,
+        save_executor: Optional[Any] = None,
     ) -> S3DISSimScene:
-        """Load -> auto trajectory -> simulate -> save (reference: :407-444)."""
+        """Load -> auto trajectory -> simulate -> save (reference: :407-444).
+
+        With ``save_executor`` (a concurrent.futures.Executor) the export
+        (label transfer + PLY/stats writing) is submitted to the executor so
+        the caller can start the next scene's device work while this scene's
+        host-side export drains — the TPU-native analog of the double-buffered
+        room staging called out in SURVEY.md §2.4. Visualizations are forced
+        off in async mode (matplotlib is not thread-safe). The pending future
+        is attached as ``sim_scene.save_future``.
+        """
         self.load_scene(scene_path, scene_name)
         waypoints, analysis_info = self.generate_auto_trajectory(num_waypoints)
         sim_scene = self.run_simulation(waypoints)
         if output_dir is None:
             output_dir = Path("s3dis_auto_simulation_results")
         output_dir = Path(output_dir)
-        self.save_results(sim_scene, output_dir, waypoints,
-                          save_visualizations=save_visualizations)
-        analysis_file = output_dir / "trajectory_analysis.json"
-        with open(analysis_file, "w", encoding="utf-8") as f:
-            json.dump(analysis_info, f, indent=2, ensure_ascii=False)
+
+        def _save() -> None:
+            self.save_results(
+                sim_scene, output_dir, waypoints,
+                save_visualizations=save_visualizations
+                and save_executor is None,
+            )
+            analysis_file = output_dir / "trajectory_analysis.json"
+            with open(analysis_file, "w", encoding="utf-8") as f:
+                json.dump(analysis_info, f, indent=2, ensure_ascii=False)
+
+        if save_executor is not None:
+            sim_scene.save_future = save_executor.submit(_save)
+        else:
+            _save()
         return sim_scene
 
 
@@ -422,6 +442,7 @@ def run_single_scene_simulation(
     room: Optional[str] = None,
     seed: int = 0,
     save_visualizations: bool = True,
+    save_executor: Optional[Any] = None,
 ) -> S3DISSimScene:
     """Process a single scene end-to-end (reference: :482-553; the dead
     manual-trajectory fallthrough bug at :530-550 is fixed — each branch runs
@@ -446,6 +467,7 @@ def run_single_scene_simulation(
         sim_scene = simulator.run_auto_simulation(
             scene_path=scene_path, num_waypoints=num_waypoints,
             output_dir=output_dir, save_visualizations=save_visualizations,
+            save_executor=save_executor,
         )
     else:
         print(f"[Simulation] Using manual trajectory for {scene_name}.")
@@ -498,16 +520,29 @@ def main(
     use_blk2go: bool = True,
     use_auto_trajectory: bool = True,
     s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
+    async_export: bool = False,
 ) -> Dict[str, Any]:
     """Batch entry point over all reconstructed scenes (reference: :594-726)
     with the same skip/resume semantics: a scene is skipped when BOTH the
     labeled PLY and the statistics txt exist; partially-written scenes rerun
-    (reference: :643-655)."""
+    (reference: :643-655).
+
+    ``async_export=True`` overlaps each scene's host-side export (label
+    transfer, PLY/stats writing) with the next scene's device work via a
+    single background thread (depth-1 double buffering; visualizations are
+    disabled in this mode)."""
     print("=== S3DIS batch simulation ===")
     available_scenes = find_available_scenes(reconstruction_dir)
     if not available_scenes:
         print("[Batch] No scenes found. Verify the reconstruction directory.")
         return {"successful": [], "failed": [], "skipped": []}
+
+    executor = None
+    pending: Optional[Tuple[str, Any]] = None
+    if async_export:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
 
     successful_scenes, failed_scenes, skipped_scenes = [], [], []
     start_time = time.time()
@@ -533,6 +568,18 @@ def main(
                     area, room = area_room.split("_", 1)
             else:
                 area, room = area_room, area_room
+            # Depth-1 double buffering: block on the previous scene's export
+            # before submitting a new one so at most one room is in flight.
+            if pending is not None:
+                prev_name, prev_future = pending
+                try:
+                    prev_future.result()
+                except Exception as e:  # export failure counts as a failure
+                    failed_scenes.append((prev_name, str(e)))
+                    successful_scenes = [
+                        sc for sc in successful_scenes if sc[0] != prev_name
+                    ]
+                pending = None
             sim_scene = run_single_scene_simulation(
                 scene_path=scene_path,
                 scene_name=scene_name,
@@ -546,12 +593,27 @@ def main(
                 s3dis_data_root=s3dis_data_root,
                 area=area,
                 room=room,
+                save_executor=executor,
             )
             successful_scenes.append((scene_name, sim_scene))
+            if executor is not None and getattr(sim_scene, "save_future", None) is not None:
+                pending = (scene_name, sim_scene.save_future)
             print(f"[Batch] Scene {scene_name} succeeded.")
         except Exception as e:
             failed_scenes.append((scene_name, str(e)))
             print(f"[Batch] Scene {scene_name} failed: {e}")
+
+    if pending is not None:
+        prev_name, prev_future = pending
+        try:
+            prev_future.result()
+        except Exception as e:
+            failed_scenes.append((prev_name, str(e)))
+            successful_scenes = [
+                sc for sc in successful_scenes if sc[0] != prev_name
+            ]
+    if executor is not None:
+        executor.shutdown(wait=True)
 
     total_time = time.time() - start_time
     n = len(available_scenes)

@@ -63,3 +63,42 @@ def test_batch_main_with_skip_resume(tmp_path, monkeypatch):
     result3 = main(**kwargs)
     assert len(result3["successful"]) == 1
     assert len(result3["skipped"]) == 1
+
+
+def test_batch_main_async_export(tmp_path, monkeypatch):
+    """async_export overlaps exports in a worker thread; outputs identical."""
+    monkeypatch.chdir(tmp_path)
+    recon = _make_reconstruction_dir(tmp_path)
+
+    res_sync = main(
+        reconstruction_dir=str(recon),
+        num_waypoints=3,
+        output_base_dir=str(tmp_path / "sync_out"),
+        use_blk2go=False,
+        use_dense_lidar=False,
+    )
+    res_async = main(
+        reconstruction_dir=str(recon),
+        num_waypoints=3,
+        output_base_dir=str(tmp_path / "async_out"),
+        use_blk2go=False,
+        use_dense_lidar=False,
+        async_export=True,
+    )
+    assert len(res_async["successful"]) == len(res_sync["successful"]) == 2
+    assert not res_async["failed"]
+    for name in ("Area_1_office_1", "Area_1_office_2"):
+        for fn in ("combined_pointcloud_with_label.ply",
+                   "simulation_statistics.txt",
+                   "trajectory_analysis.json"):
+            a = tmp_path / "async_out" / name / fn
+            s = tmp_path / "sync_out" / name / fn
+            assert a.exists() and s.exists(), (name, fn)
+        # The labeled cloud must carry the same number of points
+        from ipcgen_tpu.io.ply import read_labeled_ply
+
+        pa, *_ = read_labeled_ply(tmp_path / "async_out" / name
+                                  / "combined_pointcloud_with_label.ply")
+        ps, *_ = read_labeled_ply(tmp_path / "sync_out" / name
+                                  / "combined_pointcloud_with_label.ply")
+        assert len(pa) == len(ps)
