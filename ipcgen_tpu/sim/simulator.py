@@ -521,6 +521,7 @@ def main(
     use_auto_trajectory: bool = True,
     s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
     async_export: bool = False,
+    save_visualizations: bool = True,
 ) -> Dict[str, Any]:
     """Batch entry point over all reconstructed scenes (reference: :594-726)
     with the same skip/resume semantics: a scene is skipped when BOTH the
@@ -593,6 +594,7 @@ def main(
                 s3dis_data_root=s3dis_data_root,
                 area=area,
                 room=room,
+                save_visualizations=save_visualizations,
                 save_executor=executor,
             )
             successful_scenes.append((scene_name, sim_scene))
