@@ -1,6 +1,9 @@
 """Triangle mesh container (replaces ``o3d.geometry.TriangleMesh``).
 
-A plain numpy container on the host side; the device-resident acceleration
+The reference passes Open3D meshes between every stage (e.g. scene loading
+at s3dis_simulator.py:91, export at s3dis_nksr_reconstructor.py:145); this
+is the plain-numpy host-side equivalent, with area/normal/volume helpers
+standing in for Open3D's C++ accessors. The device-resident acceleration
 structure lives in ``ipcgen_tpu.ops.scene_asset``.
 """
 
