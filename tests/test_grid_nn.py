@@ -82,3 +82,33 @@ def test_knn_grid_device_arrays_mode(rng):
     d_from_dev = np.sqrt(np.maximum(np.asarray(d2_d), 0.0))
     mask = np.isfinite(d_h)
     np.testing.assert_allclose(d_from_dev[mask], d_h[mask], atol=1e-4)
+
+
+def test_grid_nn_degenerate_geometries(rng):
+    """Identical, coplanar, and collinear reference sets stay exact."""
+    from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
+
+    refs = np.tile(np.float32([[1, 2, 3]]), (300, 1))
+    q = rng.uniform(0, 4, (50, 3)).astype(np.float32)
+    idx = nearest_neighbor_indices_grid(q, refs)
+    assert idx.shape == (50,) and set(np.unique(idx)) <= set(range(300))
+
+    refs2 = rng.uniform(0, 5, (5000, 3)).astype(np.float32)
+    refs2[:, 2] = 0.0  # coplanar
+    q2 = rng.uniform(0, 5, (200, 3)).astype(np.float32)
+    idx2 = nearest_neighbor_indices_grid(q2, refs2)
+    e2 = nearest_neighbor_indices(q2, refs2)
+    d_g = np.linalg.norm(q2 - refs2[idx2], axis=1)
+    d_e = np.linalg.norm(q2 - refs2[e2], axis=1)
+    np.testing.assert_allclose(d_g, d_e, atol=1e-5)
+
+    refs3 = np.zeros((1000, 3), np.float32)
+    refs3[:, 0] = np.linspace(0, 9, 1000)  # collinear
+    q3 = rng.uniform(-1, 10, (100, 3)).astype(np.float32)
+    idx3 = nearest_neighbor_indices_grid(q3, refs3)
+    e3 = nearest_neighbor_indices(q3, refs3)
+    np.testing.assert_allclose(
+        np.linalg.norm(q3 - refs3[idx3], axis=1),
+        np.linalg.norm(q3 - refs3[e3], axis=1),
+        atol=1e-5,
+    )
