@@ -53,7 +53,7 @@ def _build_workload(num_waypoints: int, horizontal_res: int = 4000):
     return asset, intr, poses, len(tris)
 
 
-def _measure(backend: str, num_waypoints: int, reps: int = 3,
+def _measure(backend: str, num_waypoints: int, reps: int = 5,
              horizontal_res: int = 4000) -> dict:
     import jax
 
