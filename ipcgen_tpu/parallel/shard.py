@@ -353,3 +353,89 @@ def scan_waypoints_sharded(
     dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
     core = _sharded_scan_core(mesh, ray_axis, float(intrinsics.max_range))
     return core(asset, poses, dirs_sensor, keep)
+
+
+def sharded_grid_nn(
+    queries: np.ndarray,
+    refs: np.ndarray,
+    mesh: Mesh,
+    axis: str = "rays",
+    cell_size: Optional[float] = None,
+    cap: int = 48,
+    q_block: int = 8192,
+) -> np.ndarray:
+    """Grid-hashed 1-NN with the query axis data-parallel over ``mesh``.
+
+    The reference's label transfer is a sequential sklearn BallTree loop
+    (containers/s3dis_sim_scene.py:415-424); on a pod slice the ~millions of
+    simulated points shard across chips while the cell table and sorted
+    references replicate (a few MB — they ride the broadcast, queries ride
+    ICI). Semantics match ops.grid_nn.nearest_neighbor_indices_grid,
+    including the exact fallback for empty neighborhoods (host-side).
+    """
+    from ipcgen_tpu.ops import grid_nn as g
+
+    queries = np.asarray(queries, dtype=np.float32)
+    refs = np.asarray(refs, dtype=np.float32)
+    n, m = len(queries), len(refs)
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    ndev = mesh.devices.size
+
+    if cell_size is None:
+        cell_size = g._choose_cell_size(refs, cap)
+    lo = refs.min(axis=0)
+    inv_h = 1.0 / cell_size
+    dims = np.maximum(
+        np.ceil(np.maximum(refs.max(axis=0) - lo, 1e-6) * inv_h).astype(np.int64)
+        + 1, 1,
+    )
+    gx, gy, gz = (int(d) for d in dims)
+    ref_cells = np.clip(np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1)
+    cid = ref_cells[:, 0] * (gy * gz) + ref_cells[:, 1] * gz + ref_cells[:, 2]
+    order = np.argsort(cid, kind="stable")
+    refs_sorted = refs[order]
+    starts = np.searchsorted(cid[order], np.arange(gx * gy * gz + 1))
+
+    starts_pad = g._bucket_len(len(starts))
+    starts_b = np.concatenate(
+        [starts, np.full(starts_pad - len(starts), m, dtype=starts.dtype)]
+    )
+    m_pad = g._bucket_len(m)
+    refs_b = np.concatenate([refs_sorted, np.full((m_pad - m, 3), 1e7, np.float32)])
+    # Query padding must divide evenly over devices AND query tiles.
+    chunk = q_block * ndev
+    n_pad = g._bucket_len(-(-n // chunk)) * chunk
+    qp = np.concatenate(
+        [queries, np.full((n_pad - n, 3), lo - 10 * cell_size, np.float32)]
+    ) if n_pad != n else queries
+
+    core = functools.partial(g._grid_nn_core, cap=int(cap), q_block=int(q_block))
+    sharded = jax.jit(
+        shard_map(
+            lambda q, r, s, l, ih, dm: core(q, r, s, l, ih, dm),
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(), P(), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+    idx_sorted, d2 = sharded(
+        jnp.asarray(qp),
+        jnp.asarray(refs_b),
+        jnp.asarray(starts_b.astype(np.int32)),
+        jnp.asarray(lo, jnp.float32),
+        jnp.float32(inv_h),
+        jnp.asarray([gx, gy, gz], jnp.int32),
+    )
+    idx_enc = jax.jit(lambda i, d: jnp.where(jnp.isfinite(d), i, -1))(
+        idx_sorted, d2
+    )
+    idx_enc = np.asarray(idx_enc[:n])
+    resolved = idx_enc >= 0
+    result = order[np.clip(idx_enc, 0, m - 1)].astype(np.int32)
+    if not resolved.all():
+        from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+        result[~resolved] = nearest_neighbor_indices(queries[~resolved], refs)
+    return result

@@ -109,3 +109,20 @@ def test_2d_sharded_raycast_matches_single_device(asset):
     np.testing.assert_array_equal(
         np.asarray(res_2d.tri_id), np.asarray(res_single.tri_id)
     )
+
+
+def test_sharded_grid_nn_matches_single_device(rng):
+    from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+    from ipcgen_tpu.parallel.shard import make_device_mesh, sharded_grid_nn
+
+    refs = rng.uniform(0, 5, (8000, 3)).astype(np.float32)
+    refs[:, 2] *= 0.5
+    queries = rng.uniform(0, 5, (3000, 3)).astype(np.float32)
+    mesh = make_device_mesh(8)
+    idx = sharded_grid_nn(queries, refs, mesh, q_block=128)
+    exact = nearest_neighbor_indices(queries, refs)
+    d_g = np.linalg.norm(queries - refs[idx], axis=1)
+    d_e = np.linalg.norm(queries - refs[exact], axis=1)
+    # Grid NN is near-exact; distances must match for virtually all queries
+    assert np.mean(np.abs(d_g - d_e) < 1e-5) > 0.97
+    np.testing.assert_array_less(d_e - 1e-5, d_g + 1e-4)
