@@ -289,8 +289,16 @@ class S3DISEvaluator:
             from ipcgen_tpu.ops.sampling import sample_points_on_mesh
 
             sampled = sample_points_on_mesh(mesh, n_sample)
+            pts = np.asarray(original_points)
+            if len(pts) > n_sample:
+                # Uniform random subsample — a head slice is order-biased
+                # (room loaders concatenate surfaces part by part).
+                sel = np.random.default_rng(0).choice(
+                    len(pts), n_sample, replace=False
+                )
+                pts = pts[sel]
             metrics["chamfer_distance"] = chamfer_distance_mean(
-                np.asarray(original_points)[:n_sample], sampled, max_points=n_sample
+                pts, sampled, max_points=n_sample
             )
         if self.config.get("compute_mesh_quality", True):
             metrics["mesh_vertices"] = mesh.num_vertices
