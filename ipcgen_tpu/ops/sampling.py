@@ -69,3 +69,36 @@ def sample_points_on_mesh(
         int(n),
     )
     return np.asarray(pts)
+
+
+def sample_points_poisson_disk(
+    mesh, n: int, key: Optional[jax.Array] = None, oversample: int = 4
+) -> np.ndarray:
+    """Blue-noise-ish surface sampling (replaces Open3D's
+    ``sample_points_poisson_disk``, reference call site
+    s3dis_nksr_reconstructor.py:293-295).
+
+    Open3D dart-throws with a KD-tree; here we oversample the surface
+    uniformly by area, then thin with a uniform grid whose cell size targets
+    the Poisson radius r ≈ sqrt(A / (2√3·n)) (hex-packing density), keeping
+    one point per cell — O(N) and vectorized instead of a sequential
+    rejection loop. The result has the same near-uniform spacing property
+    the evaluator relies on (no two samples much closer than r).
+    """
+    cand = sample_points_on_mesh(mesh, n * oversample, key=key)
+    area = float(mesh.surface_area())
+    if area <= 0 or len(cand) == 0:
+        return cand[:n]
+    r = float(np.sqrt(area / (2.0 * np.sqrt(3.0) * max(n, 1))))
+    cell = max(r, 1e-9)
+    keys = np.floor((cand - cand.min(axis=0)) / cell).astype(np.int64)
+    packed = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
+    _, first = np.unique(packed, return_index=True)
+    picked = cand[np.sort(first)]
+    if len(picked) >= n:
+        return picked[:n]
+    # Fill the remainder with unused candidates (rare: very rough meshes)
+    mask = np.ones(len(cand), bool)
+    mask[first] = False
+    extra = cand[mask][: n - len(picked)]
+    return np.concatenate([picked, extra])

@@ -286,9 +286,11 @@ class S3DISEvaluator:
         n_sample = min(len(original_points), int(self.config.get("max_eval_points", 100000)))
         if self.config.get("compute_chamfer", True):
             from ipcgen_tpu.ops.metrics import chamfer_distance_mean
-            from ipcgen_tpu.ops.sampling import sample_points_on_mesh
+            from ipcgen_tpu.ops.sampling import sample_points_poisson_disk
 
-            sampled = sample_points_on_mesh(mesh, n_sample)
+            # Blue-noise surface sampling, as the reference's Open3D
+            # sample_points_poisson_disk (s3dis_nksr_reconstructor.py:293-295)
+            sampled = sample_points_poisson_disk(mesh, n_sample)
             pts = np.asarray(original_points)
             if len(pts) > n_sample:
                 # Uniform random subsample — a head slice is order-biased

@@ -183,3 +183,29 @@ def test_watertight_check(box_room):
 
     open_mesh = TriMesh(box_room.vertices, box_room.triangles[:-1])
     assert not ev._is_watertight(open_mesh)
+
+
+def test_poisson_disk_sampling_spacing(rng):
+    """Blue-noise sampler: near-uniform spacing, no tight clusters."""
+    from ipcgen_tpu.containers import TriMesh
+    from ipcgen_tpu.ops.sampling import (
+        sample_points_on_mesh,
+        sample_points_poisson_disk,
+    )
+
+    mesh = TriMesh.box(center=(0, 0, 0), size=(2.0, 2.0, 2.0))
+    n = 1500
+    pd = sample_points_poisson_disk(mesh, n)
+    un = sample_points_on_mesh(mesh, n)
+    assert len(pd) == n
+
+    def min_nn(pts):
+        d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        return d.min(axis=1)
+
+    # Poisson-disk minimum spacing distribution is much tighter than uniform:
+    # its 1st percentile nearest-neighbor distance must beat uniform's.
+    assert np.percentile(min_nn(pd), 1) > 2 * np.percentile(min_nn(un), 1)
+    # All samples still lie on the box surface
+    assert np.all(np.isclose(np.abs(pd), 1.0, atol=1e-5).any(axis=1))
