@@ -3,26 +3,43 @@
 The exact tiled 1-NN (ops.knn) is O(N*M) and its chunked scan costs tens of
 seconds at label-transfer scale (2.5M simulated points vs ~1M TLS points).
 SURVEY.md §7 calls for grid hashing at that scale: reference points are
-bucketed into a uniform grid on the host (cell size adapted to the measured
-per-cell occupancy — reference clouds are surfaces, so volumetric density
-formulas misestimate badly); each query gathers candidates from the 2x2x2
-cells nearest to it.  The true neighbor lies inside that neighborhood
+bucketed by a *hash* of their uniform-grid cell (cell size adapted to the
+measured per-cell occupancy — reference clouds are surfaces, so volumetric
+density formulas misestimate badly); each query gathers candidates from the
+2x2x2 cells nearest to it.  The true neighbor lies inside that neighborhood
 whenever the query sits on or near the reference surface — exactly the
 label-transfer setting, where scan hits land on TLS-sampled geometry.
-Queries with empty neighborhoods fall back to the exact tiled 1-NN.
 
-Grid dimensions are passed as traced values and all array shapes are
-bucketed, so every room shares one compiled program.
+The bucket table is sized by POINT COUNT (power-of-two hash table, <= 4M
+buckets), never by bbox volume / h^3 — so 60 m chunked scenes and pod-scale
+label transfers cost the same memory as a single room, and no cell-id
+arithmetic can overflow int32.  Hash collisions merely mix extra candidates
+into a bucket; the distance argmin keeps the result correct.
+
+A hashed answer is accepted only when it is PROVABLY exact: the found
+distance must be <= h/2 (every point within h/2 of a query lies inside its
+2x2x2 window by construction, so nothing closer can have been missed) and no
+visited bucket may have overflowed the candidate cap.  All other queries —
+empty neighborhoods, far-from-surface queries, truncated buckets — fall back
+to the exact tiled 1-NN, so the returned index is always the true nearest
+neighbor.
+
+All array shapes are bucketed, so every room shares one compiled program.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Spatial-hash primes (Teschner et al. style); multiplied in wrapping uint32
+# identically on host and device.
+_P1, _P2, _P3 = 73856093, 19349663, 83492791
+_MAX_TABLE = 1 << 22  # 4M buckets: starts table <= 16 MB int32 on device
 
 
 def _bucket_len(n: int, granularity: int = 4, minimum: int = 16) -> int:
@@ -32,19 +49,35 @@ def _bucket_len(n: int, granularity: int = 4, minimum: int = 16) -> int:
     return -(-n // step) * step
 
 
+@jax.jit
+def _accept_exact(idx, d2, ovf, r2):
+    """Keep a hashed answer only when provably nearest (see module doc)."""
+    return jnp.where((d2 <= r2) & ~ovf, idx, -1)
+
+
+def _hash_cells_device(c: jnp.ndarray, table_mask: int) -> jnp.ndarray:
+    """uint32 wrapping spatial hash of (B, 3) int32 cell coords -> bucket id."""
+    cu = c.astype(jnp.uint32)
+    h = (
+        (cu[:, 0] * jnp.uint32(_P1))
+        ^ (cu[:, 1] * jnp.uint32(_P2))
+        ^ (cu[:, 2] * jnp.uint32(_P3))
+    )
+    return (h & jnp.uint32(table_mask)).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "q_block"))
 def _grid_nn_core(
     queries: jnp.ndarray,  # (N, 3) padded to q_block multiple
-    refs_sorted: jnp.ndarray,  # (M, 3) cell-sorted (padded)
-    starts: jnp.ndarray,  # (C_pad,) int32 cell start offsets
+    refs_sorted: jnp.ndarray,  # (M, 3) bucket-sorted (padded)
+    starts: jnp.ndarray,  # (T + 1,) int32 bucket start offsets, T = 2^k
     lo: jnp.ndarray,  # (3,)
     inv_h: jnp.ndarray,  # scalar
-    dims: jnp.ndarray,  # (3,) int32 grid dims (traced)
+    dims: jnp.ndarray,  # (3,) int32 grid dims (traced; in-grid test only)
     cap: int,
     q_block: int,
 ):
-    gx, gy, gz = dims[0], dims[1], dims[2]
-    n_cells = gx * gy * gz
+    table_mask = starts.shape[0] - 2  # T - 1
     m = refs_sorted.shape[0]
     n_qt = queries.shape[0] // q_block
     q_tiles = queries.reshape(n_qt, q_block, 3)
@@ -59,18 +92,20 @@ def _grid_nn_core(
         base = jnp.floor((q - lo) * inv_h - 0.5).astype(jnp.int32)  # (B, 3)
 
         def offset_body(k, carry):
-            best_d, best_i = carry
+            best_d, best_i, ovf = carry
             c = base + offs[k]
             in_grid = (
-                (c[:, 0] >= 0) & (c[:, 0] < gx)
-                & (c[:, 1] >= 0) & (c[:, 1] < gy)
-                & (c[:, 2] >= 0) & (c[:, 2] < gz)
+                (c[:, 0] >= 0) & (c[:, 0] < dims[0])
+                & (c[:, 1] >= 0) & (c[:, 1] < dims[1])
+                & (c[:, 2] >= 0) & (c[:, 2] < dims[2])
             )
-            cid = jnp.clip(
-                c[:, 0] * (gy * gz) + c[:, 1] * gz + c[:, 2], 0, n_cells - 1
-            )
+            cid = _hash_cells_device(c, table_mask)
             s = starts[cid]
             e = starts[cid + 1]
+            # Buckets holding more than `cap` candidates are truncated; flag
+            # them so the caller can fall back to the exact 1-NN (a truncated
+            # bucket could silently return a non-nearest neighbor).
+            ovf = ovf | (in_grid & ((e - s) > cap))
             idx = s[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
             valid = (idx < e[:, None]) & in_grid[:, None]
             idx_c = jnp.clip(idx, 0, m - 1)
@@ -85,38 +120,86 @@ def _grid_nn_core(
             return (
                 jnp.where(take, cd, best_d),
                 jnp.where(take, ci.astype(jnp.int32), best_i),
+                ovf,
             )
 
         init = (
             jnp.full((q_block,), jnp.inf, jnp.float32),
             jnp.full((q_block,), -1, jnp.int32),
+            jnp.zeros((q_block,), jnp.bool_),
         )
-        best_d, best_i = jax.lax.fori_loop(0, 8, offset_body, init)
-        return best_i, best_d
+        best_d, best_i, ovf = jax.lax.fori_loop(0, 8, offset_body, init)
+        return best_i, best_d, ovf
 
-    idx, d2 = jax.lax.map(per_tile, q_tiles)
-    return idx.reshape(-1), d2.reshape(-1)
+    idx, d2, ovf = jax.lax.map(per_tile, q_tiles)
+    return idx.reshape(-1), d2.reshape(-1), ovf.reshape(-1)
+
+
+def _occupancy_counts(refs: np.ndarray, lo: np.ndarray, h: float) -> np.ndarray:
+    cells = np.floor((refs - lo) / h).astype(np.int64)
+    lin = (
+        cells[:, 0] * _P1 ^ cells[:, 1] * _P2 ^ cells[:, 2] * _P3
+    )
+    _, counts = np.unique(lin, return_counts=True)
+    return counts
 
 
 def _choose_cell_size(refs: np.ndarray, cap: int) -> float:
-    """Cell size targeting ~cap/4 references per occupied cell (measured)."""
+    """Cell size targeting ~cap/4 refs per occupied cell AND p99 <= cap.
+
+    Bounding the 99th-percentile occupancy (not just the mean) keeps the
+    cap-overflow fallback rare even on dense flat patches; the hashed bucket
+    table makes shrinking h free (table size is point-count-bound).
+    """
     lo = refs.min(axis=0)
     extent = np.maximum(refs.max(axis=0) - lo, 1e-6)
     h = float(max(np.cbrt(extent.prod() / max(len(refs), 1)) * 4.0, 0.02))
-    for _ in range(4):
-        cells = np.floor((refs - lo) / h).astype(np.int64)
-        lin = (
-            cells[:, 0] * 73856093 ^ cells[:, 1] * 19349663 ^ cells[:, 2] * 83492791
-        )
-        _, counts = np.unique(lin, return_counts=True)
+    for _ in range(6):
+        counts = _occupancy_counts(refs, lo, h)
         mean_occ = counts.mean()
-        target = cap / 4.0
-        if mean_occ <= cap / 2.0:
+        p99 = float(np.percentile(counts, 99))
+        if mean_occ <= cap / 2.0 and p99 <= cap:
             break
         # Surface clouds: occupancy scales ~h^2
-        h *= float(np.sqrt(target / mean_occ))
-        h = max(h, 0.01)
+        shrink = 1.0
+        if mean_occ > cap / 2.0:
+            shrink = min(shrink, float(np.sqrt((cap / 4.0) / mean_occ)))
+        if p99 > cap:
+            shrink = min(shrink, float(np.sqrt(cap / p99)))
+        h = max(h * shrink, 0.01)
+        if h == 0.01:
+            break
     return h
+
+
+def _build_hash_grid(
+    refs: np.ndarray, cell_size: float
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Bucket refs by hashed grid cell.
+
+    Returns (order, starts(T+1) int32, lo, dims(3) int64, inv_h).  Table size
+    T is a power of two ~2x the point count (capped at ``_MAX_TABLE``) —
+    memory never scales with scene extent.
+    """
+    lo = refs.min(axis=0)
+    extent = np.maximum(refs.max(axis=0) - lo, 1e-6)
+    inv_h = 1.0 / cell_size
+    dims = np.maximum(np.ceil(extent * inv_h).astype(np.int64) + 1, 1)
+    cells = np.clip(np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1)
+
+    t_size = 1 << max(int(2 * max(len(refs), 1) - 1).bit_length(), 10)
+    t_size = min(t_size, _MAX_TABLE)
+    cu = cells.astype(np.uint32)
+    bucket = (
+        (cu[:, 0] * np.uint32(_P1))
+        ^ (cu[:, 1] * np.uint32(_P2))
+        ^ (cu[:, 2] * np.uint32(_P3))
+    ) & np.uint32(t_size - 1)
+    order = np.argsort(bucket, kind="stable")
+    counts = np.bincount(bucket.astype(np.int64), minlength=t_size)
+    starts = np.zeros(t_size + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return order, starts.astype(np.int32), lo, dims, inv_h
 
 
 def nearest_neighbor_indices_grid(
@@ -126,9 +209,11 @@ def nearest_neighbor_indices_grid(
     cap: int = 48,
     q_block: int = 8192,
 ) -> np.ndarray:
-    """Grid-hashed 1-NN; exact fallback for queries with empty neighborhoods.
+    """Grid-hashed 1-NN, exact by construction.
 
-    Returns (N,) int32 indices into ``refs``.
+    Hashed answers are kept only when found within h/2 (provably nearest —
+    see module docstring) with no bucket overflow; the rest go to the exact
+    tiled 1-NN.  Returns (N,) int32 indices into ``refs``.
     """
     queries = np.asarray(queries, dtype=np.float32)
     refs = np.asarray(refs, dtype=np.float32)
@@ -138,25 +223,11 @@ def nearest_neighbor_indices_grid(
 
     if cell_size is None:
         cell_size = _choose_cell_size(refs, cap)
-    lo = refs.min(axis=0)
-    extent = np.maximum(refs.max(axis=0) - lo, 1e-6)
-    inv_h = 1.0 / cell_size
-    dims = np.maximum(np.ceil(extent * inv_h).astype(np.int64) + 1, 1)
-    gx, gy, gz = (int(d) for d in dims)
-
-    ref_cells = np.clip(
-        np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1
-    )
-    cid = ref_cells[:, 0] * (gy * gz) + ref_cells[:, 1] * gz + ref_cells[:, 2]
-    order = np.argsort(cid, kind="stable")
+    order, starts, lo, dims, inv_h = _build_hash_grid(refs, cell_size)
     refs_sorted = refs[order]
-    starts = np.searchsorted(cid[order], np.arange(gx * gy * gz + 1))
 
-    # Bucket every array shape so rooms share one compiled program.
-    starts_pad = _bucket_len(len(starts))
-    starts_b = np.concatenate(
-        [starts, np.full(starts_pad - len(starts), m, dtype=starts.dtype)]
-    )
+    # Bucket the ref/query shapes so rooms share one compiled program (the
+    # starts table is already a power of two + 1 — few distinct sizes).
     m_pad = _bucket_len(m)
     refs_b = np.concatenate(
         [refs_sorted, np.full((m_pad - m, 3), 1e7, np.float32)]
@@ -166,27 +237,29 @@ def nearest_neighbor_indices_grid(
         [queries, np.full((n_pad - n, 3), lo - 10 * cell_size, np.float32)]
     ) if n_pad != n else queries
 
-    idx_sorted, d2 = _grid_nn_core(
+    idx_sorted, d2, ovf = _grid_nn_core(
         jnp.asarray(qp),
         jnp.asarray(refs_b),
-        jnp.asarray(starts_b.astype(np.int32)),
+        jnp.asarray(starts),
         jnp.asarray(lo, jnp.float32),
         jnp.float32(inv_h),
-        jnp.asarray([gx, gy, gz], jnp.int32),
+        jnp.asarray(dims.astype(np.int32)),
         int(cap),
         int(q_block),
     )
-    # Fold the resolved-test into the index on device: downloading d2 just
-    # for an isfinite check doubled the D2H bytes (the slow direction on the
-    # remote link — ~3s per million-query call).
-    idx_enc = jax.jit(
-        lambda i, d: jnp.where(jnp.isfinite(d), i, -1)
-    )(idx_sorted, d2)
+    # Fold the acceptance test into the index on device: downloading d2 just
+    # for the check doubled the D2H bytes (the slow direction on the remote
+    # link — ~3s per million-query call).  Accept only provably-exact
+    # answers: d <= h/2 (inside the guaranteed-complete window) and no
+    # bucket overflow; hash collisions can otherwise make an empty true
+    # neighborhood look non-empty and return a far-away aliased candidate.
+    r2 = jnp.float32((0.5 * cell_size) ** 2)
+    idx_enc = _accept_exact(idx_sorted, d2, ovf, r2)
     idx_enc = np.asarray(idx_enc[:n])
     resolved = idx_enc >= 0
     result = order[np.clip(idx_enc, 0, m - 1)].astype(np.int32)
 
-    # Exact fallback for unresolved queries (empty 2x2x2 neighborhoods).
+    # Exact fallback: empty 2x2x2 neighborhoods or truncated buckets.
     if not resolved.all():
         from ipcgen_tpu.ops.knn import nearest_neighbor_indices
 
@@ -208,8 +281,7 @@ def _grid_knn_core(
     q_block: int,
 ):
     """k-NN among the 2x2x2-cell candidates (up to 8*cap per query)."""
-    gx, gy, gz = dims[0], dims[1], dims[2]
-    n_cells = gx * gy * gz
+    table_mask = starts.shape[0] - 2
     m = refs_sorted.shape[0]
     n_qt = queries.shape[0] // q_block
     q_tiles = queries.reshape(n_qt, q_block, 3)
@@ -225,13 +297,11 @@ def _grid_knn_core(
         for o in range(8):
             c = base + offs[o]
             in_grid = (
-                (c[:, 0] >= 0) & (c[:, 0] < gx)
-                & (c[:, 1] >= 0) & (c[:, 1] < gy)
-                & (c[:, 2] >= 0) & (c[:, 2] < gz)
+                (c[:, 0] >= 0) & (c[:, 0] < dims[0])
+                & (c[:, 1] >= 0) & (c[:, 1] < dims[1])
+                & (c[:, 2] >= 0) & (c[:, 2] < dims[2])
             )
-            cid = jnp.clip(
-                c[:, 0] * (gy * gz) + c[:, 1] * gz + c[:, 2], 0, n_cells - 1
-            )
+            cid = _hash_cells_device(c, table_mask)
             s = starts[cid]
             e = starts[cid + 1]
             idx = s[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -262,8 +332,10 @@ def knn_grid(
     """Grid-hashed approximate k-NN for dense self-joins (outlier removal /
     normal estimation).  Candidates come from the 2x2x2 nearest cells
     (<= 8*cap); the cell size adapts so a neighborhood holds well over ``k``
-    references.  Unresolved queries (fewer than k finite candidates) keep
-    +inf distances — callers treat those like any sparse neighborhood.
+    references (p99 bucket occupancy bounded by ``cap``).  Unresolved queries
+    (fewer than k finite candidates) keep +inf distances — callers treat
+    those like any sparse neighborhood.  Buckets beyond ``cap`` are truncated
+    (approximate by design; use ops.knn for the exact join).
 
     Returns (indices (N, k) int32, dists (N, k) float32 Euclidean).
     """
@@ -275,21 +347,9 @@ def knn_grid(
     if cell_size is None:
         # Need ~4k candidates across the 8-cell neighborhood
         cell_size = _choose_cell_size(refs, max(cap, k))
-    lo = refs.min(axis=0)
-    extent = np.maximum(refs.max(axis=0) - lo, 1e-6)
-    inv_h = 1.0 / cell_size
-    dims = np.maximum(np.ceil(extent * inv_h).astype(np.int64) + 1, 1)
-    gx, gy, gz = (int(d) for d in dims)
-    ref_cells = np.clip(np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1)
-    cid = ref_cells[:, 0] * (gy * gz) + ref_cells[:, 1] * gz + ref_cells[:, 2]
-    order = np.argsort(cid, kind="stable")
+    order, starts, lo, dims, inv_h = _build_hash_grid(refs, cell_size)
     refs_sorted = refs[order]
-    starts = np.searchsorted(cid[order], np.arange(gx * gy * gz + 1))
 
-    starts_pad = _bucket_len(len(starts))
-    starts_b = np.concatenate(
-        [starts, np.full(starts_pad - len(starts), m, dtype=starts.dtype)]
-    )
     m_pad = _bucket_len(m)
     refs_b = np.concatenate([refs_sorted, np.full((m_pad - m, 3), 1e7, np.float32)])
     n_pad = _bucket_len(-(-n // q_block)) * q_block
@@ -302,10 +362,10 @@ def knn_grid(
     idx_sorted, d2 = _grid_knn_core(
         jnp.asarray(qp),
         jnp.asarray(refs_b),
-        jnp.asarray(starts_b.astype(np.int32)),
+        jnp.asarray(starts),
         jnp.asarray(lo, jnp.float32),
         jnp.float32(inv_h),
-        jnp.asarray([gx, gy, gz], jnp.int32),
+        jnp.asarray(dims.astype(np.int32)),
         int(cap),
         int(min(k, 8 * cap)),
         int(q_block),

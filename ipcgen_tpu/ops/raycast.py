@@ -150,9 +150,9 @@ def raycast_asset(
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     if backend == "auto":
-        backend = (
-            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-        )
+        # The Pallas kernel targets Mosaic/TPU only; any other backend (cpu,
+        # gpu, ...) takes the portable XLA path rather than failing.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from ipcgen_tpu.ops.raycast_pallas import raycast_asset_pallas
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from pathlib import Path
 from typing import Optional
 
@@ -17,14 +18,36 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _build_lib(src: Path, so: Path) -> bool:
+    """Compile the native library from source (quiet best-effort)."""
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", "-o", str(so), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return so.is_file()
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
 def _find_lib() -> Optional[Path]:
-    candidates = [
-        Path(__file__).resolve().parents[2] / "native" / "libipcgen_native.so",
-        Path(os.environ.get("IPCGEN_NATIVE_LIB", "")),
-    ]
-    for c in candidates:
-        if c and c.is_file():
-            return c
+    env = os.environ.get("IPCGEN_NATIVE_LIB", "")
+    if env and Path(env).is_file():
+        return Path(env)
+    native_dir = Path(__file__).resolve().parents[2] / "native"
+    src = native_dir / "ipcgen_native.cc"
+    so = native_dir / "libipcgen_native.so"
+    # The binary is never committed: build it from source on first use and
+    # rebuild whenever the source is newer, so the loaded code always matches
+    # the reviewed .cc (advisor finding: an unauditable prebuilt .so can
+    # silently embed stale bugs).
+    if src.is_file():
+        stale = not so.is_file() or so.stat().st_mtime < src.stat().st_mtime
+        if stale and not _build_lib(src, so):
+            return None
+    if so.is_file():
+        return so
     return None
 
 
@@ -90,15 +113,20 @@ def parse_float_table(path: str) -> Optional[np.ndarray]:
     )
     if rc != 0 or rows.value == 0 or cols.value == 0:
         return None if rc != 0 else np.zeros((0, 0))
-    out = np.empty((rows.value, cols.value), dtype=np.float64)
+    alloc_rows, alloc_cols = rows.value, cols.value
+    out = np.empty((alloc_rows, alloc_cols), dtype=np.float64)
+    # Fill call: rows/cols carry the allocated capacity in and the actual
+    # parsed counts out; validate against the allocation as a backstop.
     rc = lib.parse_float_table(
         path.encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.byref(rows),
         ctypes.byref(cols),
     )
-    if rc != 0:
+    if rc != 0 or cols.value != alloc_cols or rows.value > alloc_rows:
         return None
+    if rows.value < alloc_rows:
+        out = out[: rows.value]
     return out
 
 

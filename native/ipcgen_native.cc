@@ -28,8 +28,13 @@ extern "C" {
 
 // ---------------------------------------------------------------------------
 // Fast whitespace-separated float table parser (S3DIS room / annotation txt).
-// Two-call protocol: first call with out=nullptr fills *rows/*cols; second
-// call fills the row-major out buffer.  Returns 0 on success.
+// Two-call protocol: first call with out=nullptr fills *rows/*cols; on the
+// second (fill) call the caller passes the allocated *rows/*cols back in as
+// the buffer capacity, and they are re-reported on return so the caller can
+// validate.  Both passes run IDENTICAL tokenization (std::from_chars on every
+// token; unparsable tokens are skipped in both), so the row/col accounting of
+// the two passes cannot diverge.  A capacity clamp backstops the fill pass
+// regardless.  Returns 0 on success.
 // ---------------------------------------------------------------------------
 int parse_float_table(const char* path, double* out, int64_t* rows,
                       int64_t* cols) {
@@ -46,6 +51,7 @@ int parse_float_table(const char* path, double* out, int64_t* rows,
   std::fclose(f);
   buf[size] = '\0';
 
+  const int64_t capacity = out ? (*rows) * (*cols) : 0;
   const char* p = buf.data();
   const char* end = buf.data() + size;
   int64_t n_rows = 0;
@@ -64,36 +70,31 @@ int parse_float_table(const char* path, double* out, int64_t* rows,
       while (p < end && *p != '\n') ++p;
       continue;
     }
-    // Parse one row.  The counting pass (out == nullptr) only tokenizes —
-    // no float conversion — so the two-call protocol costs ~one parse.
+    // Parse one row.  Tokenization is byte-identical in both passes: only
+    // from_chars-parsable tokens count toward row_cols.
     int64_t row_cols = 0;
+    const int64_t row_start_idx = out_idx;
     while (p < end && *p != '\n') {
-      if (!out) {
+      double v;
+      auto [next, ec] = std::from_chars(p, end, v);
+      if (ec != std::errc() || next == p) {  // unparsable token: skip it
         while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r')
           ++p;
-        ++row_cols;
       } else {
-        double v;
-        auto [next, ec] = std::from_chars(p, end, v);
-        if (ec != std::errc() || next == p) {  // unparsable token: skip it
-          while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
-                 *p != '\r')
-            ++p;
-        } else {
-          p = next;
-          out[out_idx++] = v;
-          ++row_cols;
-        }
+        p = next;
+        if (out && out_idx < capacity) out[out_idx] = v;
+        ++out_idx;
+        ++row_cols;
       }
       while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
     }
     if (row_cols > 0) {
       if (n_cols == 0) n_cols = row_cols;
-      if (row_cols == n_cols) {
+      if (row_cols == n_cols && (!out || out_idx <= capacity)) {
         ++n_rows;
-      } else if (out) {
-        // Ragged row on the fill pass: rewind its values.
-        out_idx -= row_cols;
+      } else {
+        // Ragged row (or capacity overrun backstop): rewind its values.
+        out_idx = row_start_idx;
       }
     }
     if (p < end && *p == '\n') ++p;

@@ -112,3 +112,59 @@ def test_grid_nn_degenerate_geometries(rng):
         np.linalg.norm(q3 - refs3[e3], axis=1),
         atol=1e-5,
     )
+
+
+def test_grid_nn_exact_by_construction(rng):
+    """Hashed answers are accepted only when provably nearest, so the result
+    always equals the exact 1-NN (in distance)."""
+    refs = _shell(rng, 8000)
+    queries = np.concatenate(
+        [
+            _shell(rng, 500),
+            rng.uniform(-2, 6, (200, 3)).astype(np.float32),  # off-surface
+        ]
+    )
+    g = nearest_neighbor_indices_grid(queries, refs)
+    e = nearest_neighbor_indices(queries, refs)
+    np.testing.assert_allclose(
+        np.linalg.norm(queries - refs[g], axis=1),
+        np.linalg.norm(queries - refs[e], axis=1),
+        atol=1e-5,
+    )
+
+
+def test_grid_nn_large_extent_scene_bounded_memory(rng):
+    """A 60 m-extent scene (chunked-recon scale) must not allocate a dense
+    volume/h^3 cell table: the hashed bucket table is point-count-bound."""
+    from ipcgen_tpu.ops.grid_nn import _build_hash_grid, _MAX_TABLE
+
+    refs = _shell(rng, 5000, scale=(60.0, 60.0, 6.0))
+    order, starts, lo, dims, inv_h = _build_hash_grid(refs, 0.01)
+    # Dense table would need 6000*6000*600 cells; hashed is <= _MAX_TABLE.
+    assert len(starts) <= _MAX_TABLE + 1
+    q = _shell(rng, 400, scale=(60.0, 60.0, 6.0))
+    g = nearest_neighbor_indices_grid(q, refs, cell_size=0.05)
+    e = nearest_neighbor_indices(q, refs)
+    np.testing.assert_allclose(
+        np.linalg.norm(q - refs[g], axis=1),
+        np.linalg.norm(q - refs[e], axis=1),
+        atol=1e-5,
+    )
+
+
+def test_grid_nn_cap_overflow_falls_back(rng):
+    """Buckets holding more than `cap` candidates trigger the exact fallback
+    rather than silently returning a truncated (possibly wrong) neighbor."""
+    # 2000 points crammed into one tiny cluster -> every bucket overflows a
+    # cap of 4; plus sparse far points so cells stay small.
+    cluster = (rng.normal(0, 0.002, (2000, 3)) + 1.0).astype(np.float32)
+    sparse = rng.uniform(0, 2, (200, 3)).astype(np.float32)
+    refs = np.concatenate([cluster, sparse])
+    q = (rng.normal(0, 0.002, (100, 3)) + 1.0).astype(np.float32)
+    g = nearest_neighbor_indices_grid(q, refs, cell_size=0.05, cap=4)
+    e = nearest_neighbor_indices(q, refs)
+    np.testing.assert_allclose(
+        np.linalg.norm(q - refs[g], axis=1),
+        np.linalg.norm(q - refs[e], axis=1),
+        atol=1e-6,
+    )
