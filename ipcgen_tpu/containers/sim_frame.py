@@ -26,9 +26,16 @@ class ScanQuality:
     scan_density: float
     range_mean: float
     range_std: float
+    # True sensor-range stats from the hit distances ``t``.  The reference's
+    # range_mean/std are norms of WORLD coordinates (a preserved reference
+    # quirk, s3dis_simulator.py:276-284); these optional fields dual-report
+    # the physically meaningful quantity, mirroring the incident-angle /
+    # true-incidence pattern.  None keeps byte-parity of exported dicts.
+    sensor_range_mean: Optional[float] = None
+    sensor_range_std: Optional[float] = None
 
     def to_dict(self) -> Dict[str, Any]:
-        return {
+        d = {
             "coverage_ratio": self.coverage_ratio,
             "num_points": self.num_points,
             "incident_angle_mean": self.incident_angle_mean,
@@ -37,6 +44,10 @@ class ScanQuality:
             "range_mean": self.range_mean,
             "range_std": self.range_std,
         }
+        if self.sensor_range_mean is not None:
+            d["sensor_range_mean"] = self.sensor_range_mean
+            d["sensor_range_std"] = self.sensor_range_std
+        return d
 
     @classmethod
     def from_dict(cls, quality_dict: Dict[str, Any]) -> "ScanQuality":

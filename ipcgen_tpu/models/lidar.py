@@ -65,8 +65,16 @@ class DualAxisLidar:
         assert isinstance(self.intrinsics, DualAxisLidarIntrinsics)
         self.pose = np.asarray(self.pose, dtype=np.float64)
         assert self.pose.shape == (4, 4)
+        # Explicit-PRNG design stance (SURVEY.md §7): no global numpy RNG in
+        # the compat layer either.  Default key is deterministic; two
+        # constructions with the same key produce identical rays.
         if self.rng_key is None:
-            self.rng_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+            self.rng_key = jax.random.PRNGKey(0)
+
+    def _np_rng(self, salt: int = 0) -> np.random.Generator:
+        """Deterministic numpy Generator derived from the jax key."""
+        bits = np.asarray(jax.random.key_data(self.rng_key)).ravel()
+        return np.random.default_rng(np.concatenate([bits, [salt]]).astype(np.uint32))
 
     # ------------------------------------------------------------------
     def beam_directions(
@@ -117,7 +125,7 @@ class DualAxisLidar:
             base + swing, self.intrinsics.theta_range[0], self.intrinsics.theta_range[1]
         )
         if self.intrinsics.angle_noise_std > 0:
-            rng = np.random.default_rng()
+            rng = self._np_rng(salt=1)
             phi = phi + rng.normal(0, self.intrinsics.angle_noise_std, phi.shape)
             theta = theta + rng.normal(0, self.intrinsics.angle_noise_std, theta.shape)
         dirs = np.stack(
@@ -150,7 +158,8 @@ class DualAxisLidar:
 
     def add_noise_to_rays(self, rays: np.ndarray) -> np.ndarray:
         if self.intrinsics.dropout_probability > 0:
-            keep = np.random.random(len(rays)) > self.intrinsics.dropout_probability
+            rng = self._np_rng(salt=2)
+            keep = rng.random(len(rays)) > self.intrinsics.dropout_probability
             rays = rays[keep]
         return rays
 

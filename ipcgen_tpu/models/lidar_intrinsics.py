@@ -96,7 +96,9 @@ class DualAxisLidarIntrinsics(LidarIntrinsics):
         swing = self.swing_amplitude * np.sin(self.swing_frequency * t + phase_offset)
         theta = np.clip(base_theta + swing, self.theta_range[0], self.theta_range[1])
         if self.angle_noise_std > 0:
-            rng = rng or np.random.default_rng()
+            # Deterministic default (explicit-PRNG stance, SURVEY.md §7);
+            # pass a Generator for varied noise.
+            rng = rng or np.random.default_rng(0)
             phi += rng.normal(0, self.angle_noise_std)
             theta += rng.normal(0, self.angle_noise_std)
         return phi, theta
@@ -291,7 +293,7 @@ class Indoor8LineLidarIntrinsics(LidarIntrinsics):
 
     def add_noise(self, points, ranges, angles, intensities, rng=None):
         """Gaussian range/angle/intensity noise + dropout (reference: :364-389)."""
-        rng = rng or np.random.default_rng()
+        rng = rng or np.random.default_rng(0)
         noisy_ranges = ranges + rng.normal(0, self.range_noise_std, ranges.shape)
         noisy_angles = angles + rng.normal(
             0, np.deg2rad(self.angle_noise_std), angles.shape

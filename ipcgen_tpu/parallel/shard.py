@@ -368,10 +368,11 @@ def sharded_grid_nn(
 
     The reference's label transfer is a sequential sklearn BallTree loop
     (containers/s3dis_sim_scene.py:415-424); on a pod slice the ~millions of
-    simulated points shard across chips while the cell table and sorted
-    references replicate (a few MB — they ride the broadcast, queries ride
-    ICI). Semantics match ops.grid_nn.nearest_neighbor_indices_grid,
-    including the exact fallback for empty neighborhoods (host-side).
+    simulated points shard across chips while the hashed bucket table and
+    sorted references replicate (a few MB — they ride the broadcast, queries
+    ride ICI). Semantics match ops.grid_nn.nearest_neighbor_indices_grid:
+    hashed answers are accepted only when provably nearest (d <= h/2, no
+    bucket overflow), the rest take the exact host-side fallback.
     """
     from ipcgen_tpu.ops import grid_nn as g
 
@@ -384,23 +385,9 @@ def sharded_grid_nn(
 
     if cell_size is None:
         cell_size = g._choose_cell_size(refs, cap)
-    lo = refs.min(axis=0)
-    inv_h = 1.0 / cell_size
-    dims = np.maximum(
-        np.ceil(np.maximum(refs.max(axis=0) - lo, 1e-6) * inv_h).astype(np.int64)
-        + 1, 1,
-    )
-    gx, gy, gz = (int(d) for d in dims)
-    ref_cells = np.clip(np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1)
-    cid = ref_cells[:, 0] * (gy * gz) + ref_cells[:, 1] * gz + ref_cells[:, 2]
-    order = np.argsort(cid, kind="stable")
+    order, starts, lo, dims, inv_h = g._build_hash_grid(refs, cell_size)
     refs_sorted = refs[order]
-    starts = np.searchsorted(cid[order], np.arange(gx * gy * gz + 1))
 
-    starts_pad = g._bucket_len(len(starts))
-    starts_b = np.concatenate(
-        [starts, np.full(starts_pad - len(starts), m, dtype=starts.dtype)]
-    )
     m_pad = g._bucket_len(m)
     refs_b = np.concatenate([refs_sorted, np.full((m_pad - m, 3), 1e7, np.float32)])
     # Query padding must divide evenly over devices AND query tiles.
@@ -416,20 +403,20 @@ def sharded_grid_nn(
             lambda q, r, s, l, ih, dm: core(q, r, s, l, ih, dm),
             mesh=mesh,
             in_specs=(P(axis), P(), P(), P(), P(), P()),
-            out_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
             check_vma=False,
         )
     )
-    idx_sorted, d2 = sharded(
+    idx_sorted, d2, ovf = sharded(
         jnp.asarray(qp),
         jnp.asarray(refs_b),
-        jnp.asarray(starts_b.astype(np.int32)),
+        jnp.asarray(starts),
         jnp.asarray(lo, jnp.float32),
         jnp.float32(inv_h),
-        jnp.asarray([gx, gy, gz], jnp.int32),
+        jnp.asarray(dims.astype(np.int32)),
     )
-    idx_enc = jax.jit(lambda i, d: jnp.where(jnp.isfinite(d), i, -1))(
-        idx_sorted, d2
+    idx_enc = g._accept_exact(
+        idx_sorted, d2, ovf, jnp.float32((0.5 * cell_size) ** 2)
     )
     idx_enc = np.asarray(idx_enc[:n])
     resolved = idx_enc >= 0

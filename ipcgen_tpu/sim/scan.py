@@ -54,20 +54,26 @@ class ScanBatch(NamedTuple):
             np.asarray(self.incident_angles[w])[m],
         )
 
-    def to_numpy(self):
-        """One bulk device->host transfer of (points, angles, mask).
+    def to_numpy(self, with_ranges: bool = False):
+        """One bulk device->host transfer of (points, angles, mask[, t]).
 
         Per-frame np.asarray slicing costs one RPC per frame on remote-
         attached TPUs; exporting the whole batch at once is ~40x fewer
-        transfers for a 40-frame trajectory.
+        transfers for a 40-frame trajectory.  ``with_ranges`` additionally
+        returns the true sensor hit distances ``t`` (for the sensor-range
+        quality stats the reference never computed — its "range" stats are
+        norms of world coordinates, s3dis_simulator.py:276-284).
         """
         from ipcgen_tpu.utils.host import to_host
 
-        return (
+        out = (
             np.asarray(self.points),
             np.asarray(self.incident_angles),
             to_host(self.mask),
         )
+        if with_ranges:
+            out = out + (np.asarray(self.t),)
+        return out
 
 
 def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
@@ -113,19 +119,23 @@ def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
     raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
 
 
-@functools.partial(jax.jit, static_argnames=("max_range", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("max_range", "backend", "range_noise_std")
+)
 def _scan_core(
     asset: SceneAsset,
     poses: jnp.ndarray,
     dirs_sensor: jnp.ndarray,
     keep: jnp.ndarray,
+    noise_key: jnp.ndarray,
     max_range: float,
     backend: str,
+    range_noise_std: float,
 ) -> ScanBatch:
     """The whole post-beam-gen scan as ONE compiled program: pose transform,
-    raycast, range mask, and both incidence formulas fuse into a single
-    dispatch (eager per-op dispatch over the remote TPU link would otherwise
-    dominate the kernel time)."""
+    raycast, range noise, range mask, and both incidence formulas fuse into a
+    single dispatch (eager per-op dispatch over the remote TPU link would
+    otherwise dominate the kernel time)."""
     dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)  # (W, R, 3)
     origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
     w, r, _ = dirs_world.shape
@@ -140,6 +150,15 @@ def _scan_core(
     hit = res.hit.reshape(w, r)
     points = res.points.reshape(w, r, 3)
     normals = res.normals.reshape(w, r, 3)
+
+    if range_noise_std > 0.0:
+        # Sensor range noise: the profile's sigma perturbs the measured
+        # distance BEFORE point reconstruction (the reference declares this
+        # sigma, lidar/lidar_intrinsics.py:236, but never applies it —
+        # resolved per SURVEY.md §7, behind a flag defaulting to parity/off).
+        sigma = jax.random.normal(noise_key, t.shape) * range_noise_std
+        t = jnp.where(hit, t + sigma, t)
+        points = origins + dirs_world * t[..., None]
 
     mask = hit & keep & (t < max_range)
     # Reference formula: angle of the (unit) ray direction to vertical,
@@ -166,6 +185,7 @@ def scan_waypoints(
     poses: np.ndarray,
     key: Optional[jax.Array] = None,
     backend: str = "auto",
+    apply_range_noise: bool = False,
 ) -> ScanBatch:
     """Scan the scene from every waypoint pose in one fused batch.
 
@@ -176,6 +196,10 @@ def scan_waypoints(
     poses : (W, 4, 4) LiDAR poses (Waypoint.to_pose_matrix stack).
     key : PRNG key for sensor noise / dropout.
     backend : raycast backend ("auto" | "pallas" | "xla").
+    apply_range_noise : apply the profile's Gaussian range sigma to the
+        measured distances.  Defaults False = reference parity (the
+        reference declares range_noise_std but never applies it,
+        lidar/lidar_intrinsics.py:236 + :364-389).
 
     Semantics parity with the reference engine
     (raycast_engine_cpu.py:75-111): hits beyond ``max_range`` are dropped
@@ -185,9 +209,24 @@ def scan_waypoints(
     """
     poses = jnp.asarray(poses, jnp.float32)
     n_waypoints = poses.shape[0]
-    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    beam_key, noise_key = jax.random.split(key)
+    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, beam_key)
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    sigma = (
+        float(getattr(intrinsics, "range_noise_std", 0.0))
+        if apply_range_noise
+        else 0.0
+    )
     return _scan_core(
-        asset, poses, dirs_sensor, keep, float(intrinsics.max_range), backend
+        asset,
+        poses,
+        dirs_sensor,
+        keep,
+        noise_key,
+        float(intrinsics.max_range),
+        backend,
+        sigma,
     )

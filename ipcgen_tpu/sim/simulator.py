@@ -220,16 +220,19 @@ class S3DISSimulator:
                 poses,
                 key=scan_key,
                 backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
+                apply_range_noise=bool(self.config.get("apply_range_noise", False)),
             )
         jax.block_until_ready(batch.t)
-        all_points, all_angles, all_mask = batch.to_numpy()
+        all_points, all_angles, all_mask, all_t = batch.to_numpy(with_ranges=True)
 
         for i in range(len(waypoints)):
             m = all_mask[i]
             points = all_points[i][m]
             incident_angles = all_angles[i][m]
+            sensor_ranges = all_t[i][m]
             # Per-frame quality metrics (reference: :276-284; note the range
-            # stats are norms of the world positions — preserved verbatim).
+            # stats are norms of the world positions — preserved verbatim;
+            # the true sensor ranges from the t array are dual-reported).
             ranges = np.linalg.norm(points, axis=1) if len(points) else np.zeros(0)
             scan_quality = ScanQuality(
                 coverage_ratio=len(points) / total_points_per_scan,
@@ -243,6 +246,12 @@ class S3DISSimulator:
                 scan_density=len(points) / room_volume,
                 range_mean=float(np.mean(ranges)) if len(points) > 0 else 0,
                 range_std=float(np.std(ranges)) if len(points) > 0 else 0,
+                sensor_range_mean=(
+                    float(np.mean(sensor_ranges)) if len(points) > 0 else 0.0
+                ),
+                sensor_range_std=(
+                    float(np.std(sensor_ranges)) if len(points) > 0 else 0.0
+                ),
             )
             sim_scene.append_frame(
                 S3DISSimFrame(i, points, incident_angles, scan_quality)
