@@ -113,6 +113,151 @@ def _raycast_asset_xla_core(origins, dirs, asset: SceneAsset):
     return best_t, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "super_factor", "t_max", "tile"),
+)
+def raycast_xla_culled_components(
+    origins,
+    dirs,
+    tri_data,
+    block_lo,
+    block_hi,
+    super_lo,
+    super_hi,
+    *,
+    block_size: int,
+    super_factor: int,
+    t_max: float = np.inf,
+    tile: int = 1024,
+):
+    """Two-level AABB-culled traversal in pure XLA; returns (t, packed_slot).
+
+    The portable counterpart of the Pallas kernel (raycast_pallas.py): rays
+    are processed in tiles, each tile slab-tests super then leaf AABBs
+    against its running best-t (initialized to the range cap, so occlusion
+    and max-range cull at the AABB level) and only intersects the triangle
+    panels of surviving blocks (``lax.cond`` skips the rest — a real branch
+    under ``lax.map``, unlike a vectorized select).
+
+    Component-level signature so ``shard_map`` can pass sharded asset pieces
+    (parallel/shard.py); ``raycast_asset_xla`` remains the brute oracle.
+    """
+    origins = origins.astype(jnp.float32)
+    dirs = dirs.astype(jnp.float32)
+    n = origins.shape[0]
+    nb = tri_data.shape[0]
+    ns = super_lo.shape[0]
+    pad = (-n) % tile
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.full((pad, 3), 1e8, jnp.float32)]
+        )
+        dirs = jnp.concatenate(
+            [dirs, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))]
+        )
+    n_tiles = origins.shape[0] // tile
+    o_t = origins.reshape(n_tiles, tile, 3)
+    d_t = dirs.reshape(n_tiles, tile, 3)
+    # Block AABB rows padded to NS*SF with NaN (slab test can never pass).
+    pad_blocks = ns * super_factor - nb
+    if pad_blocks:
+        nanpad = jnp.full((pad_blocks, 3), jnp.nan, jnp.float32)
+        block_lo = jnp.concatenate([block_lo, nanpad])
+        block_hi = jnp.concatenate([block_hi, nanpad])
+    t_init = float(t_max) if np.isfinite(t_max) else float(np.finfo(np.float32).max)
+
+    from ipcgen_tpu.ops.geometry import ray_aabb_hit
+
+    def per_tile(od):
+        o, d = od
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        oxc, oyc, ozc = ox[:, None], oy[:, None], oz[:, None]
+        dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
+
+        def tri_block(carry):
+            best_t, best_i, b = carry
+            blk = jax.lax.dynamic_index_in_dim(
+                tri_data, jnp.minimum(b, nb - 1), keepdims=False
+            )  # (16, TB)
+            t = moller_trumbore_components(
+                oxc, oyc, ozc, dxc, dyc, dzc,
+                blk[0][None, :], blk[1][None, :], blk[2][None, :],
+                blk[3][None, :], blk[4][None, :], blk[5][None, :],
+                blk[6][None, :], blk[7][None, :], blk[8][None, :],
+            )  # (tile, TB)
+            tmin = jnp.min(t, axis=1)
+            targ = jnp.argmin(t, axis=1).astype(jnp.int32) + b * block_size
+            take = tmin < best_t
+            return (
+                jnp.where(take, tmin, best_t),
+                jnp.where(take, targ, best_i),
+                b,
+            )
+
+        def blk_body(j, carry):
+            best_t, best_i, s = carry
+            b = s * super_factor + j
+            lo = block_lo[b]
+            hi = block_hi[b]
+            hit_b = ray_aabb_hit(
+                ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                (lo[0], lo[1], lo[2]), (hi[0], hi[1], hi[2]), best_t,
+            )
+            best_t, best_i, _ = jax.lax.cond(
+                jnp.any(hit_b), tri_block, lambda c: c, (best_t, best_i, b)
+            )
+            return best_t, best_i, s
+
+        def visit_super(carry):
+            best_t, best_i, s = carry
+            return jax.lax.fori_loop(
+                0, super_factor, blk_body, (best_t, best_i, s)
+            )
+
+        def super_body(s, carry):
+            best_t, best_i = carry
+            lo = super_lo[s]
+            hi = super_hi[s]
+            hit_s = ray_aabb_hit(
+                ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                (lo[0], lo[1], lo[2]), (hi[0], hi[1], hi[2]), best_t,
+            )
+            best_t, best_i, _ = jax.lax.cond(
+                jnp.any(hit_s), visit_super, lambda c: c, (best_t, best_i, s)
+            )
+            return best_t, best_i
+
+        init = (
+            jnp.full(tile, t_init, jnp.float32),
+            jnp.full(tile, -1, jnp.int32),
+        )
+        best_t, best_i = jax.lax.fori_loop(0, ns, super_body, init)
+        return jnp.where(best_i >= 0, best_t, jnp.inf), best_i
+
+    t, slot = jax.lax.map(per_tile, (o_t, d_t))
+    return t.reshape(-1)[:n], slot.reshape(-1)[:n]
+
+
+def raycast_asset_xla_culled(
+    origins, dirs, asset: SceneAsset, t_max: float = np.inf
+) -> RaycastResult:
+    """AABB-culled XLA path over the resident asset (portable fast path)."""
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    t, slot = raycast_xla_culled_components(
+        origins, dirs,
+        asset.tri_data, asset.block_lo, asset.block_hi,
+        asset.super_lo, asset.super_hi,
+        block_size=asset.block_size,
+        super_factor=asset.super_factor,
+        t_max=float(t_max),
+    )
+    return finalize_result(origins, dirs, t, slot, asset)
+
+
 def finalize_result(origins, dirs, t, packed_slot, asset: SceneAsset) -> RaycastResult:
     """Map packed slots -> original ids, gather normals, compute hit points."""
     hit = jnp.isfinite(t) & (packed_slot >= 0)
@@ -142,10 +287,12 @@ def raycast_asset(
     Parameters
     ----------
     origins, dirs : (R, 3) arrays (dirs should be unit length).
-    backend : "auto" | "pallas" | "xla".  "auto" picks the Pallas TPU kernel
-        on TPU backends and XLA elsewhere.
-    t_max : optional hit-distance cap (used by the Pallas kernel to cull
-        blocks beyond the LiDAR max range; XLA path filters afterwards).
+    backend : "auto" | "pallas" | "xla" | "xla_brute".  "auto" picks the
+        Pallas TPU kernel on TPU backends and the culled XLA path elsewhere;
+        "xla_brute" is the unculled block scan kept as the test oracle.
+    t_max : optional hit-distance cap — both fast paths cull blocks beyond
+        the LiDAR max range at the AABB level; the brute path filters
+        afterwards.
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
@@ -157,6 +304,8 @@ def raycast_asset(
         from ipcgen_tpu.ops.raycast_pallas import raycast_asset_pallas
 
         return raycast_asset_pallas(origins, dirs, asset, t_max=t_max)
+    if backend == "xla":
+        return raycast_asset_xla_culled(origins, dirs, asset, t_max=t_max)
     res = raycast_asset_xla(origins, dirs, asset)
     if np.isfinite(t_max):
         keep = res.hit & (res.t < t_max)

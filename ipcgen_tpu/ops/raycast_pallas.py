@@ -158,17 +158,27 @@ def _raycast_pallas_padded(
     return t, slot
 
 
-def raycast_asset_pallas(
+def raycast_pallas_components(
     origins,
     dirs,
-    asset: SceneAsset,
+    tri_data,
+    block_lo,
+    block_hi,
+    super_lo,
+    super_hi,
+    *,
+    block_size: int,
+    super_factor: int,
     t_max: float = np.inf,
     rows: int = DEFAULT_ROWS,
     interpret: bool = False,
-) -> RaycastResult:
-    """Intersect rays with the resident scene via the Pallas TPU kernel.
+):
+    """Pallas kernel over raw asset components; returns (t, packed_slot).
 
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    Component-level twin of ``raycast_asset_xla_culled_components`` so the
+    sharded paths (parallel/shard.py) can run the flagship kernel per shard
+    inside ``shard_map`` — with block/super arrays already sliced to the
+    shard.  ``interpret=True`` runs the Pallas interpreter (CPU tests).
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
@@ -190,16 +200,16 @@ def raycast_asset_pallas(
     ox, oy, oz = comp(origins_p, 0), comp(origins_p, 1), comp(origins_p, 2)
     dx, dy, dz = comp(dirs_p, 0), comp(dirs_p, 1), comp(dirs_p, 2)
 
-    nb = asset.num_blocks
-    ns = asset.num_supers
-    sf = asset.super_factor
+    nb = tri_data.shape[0]
+    ns = super_lo.shape[0]
+    sf = super_factor
     # (NS, 8) super AABB rows [lox loy loz hix hiy hiz 0 0]; (NS*SF, 8) block
     # rows padded with NaN so padded entries always fail the slab test (NaN
     # comparisons are false).
     zpad = jnp.zeros((ns, 2), jnp.float32)
-    saabb = jnp.concatenate([asset.super_lo, asset.super_hi, zpad], axis=1)
+    saabb = jnp.concatenate([super_lo, super_hi, zpad], axis=1)
     pad_blocks = ns * sf - nb
-    blo, bhi = asset.block_lo, asset.block_hi
+    blo, bhi = block_lo, block_hi
     if pad_blocks:
         nanpad = jnp.full((pad_blocks, 3), jnp.nan, jnp.float32)
         blo = jnp.concatenate([blo, nanpad])
@@ -210,14 +220,39 @@ def raycast_asset_pallas(
 
     t_init = float(t_max) if np.isfinite(t_max) else float(np.finfo(np.float32).max)
     t, slot = _raycast_pallas_padded(
-        ox, oy, oz, dx, dy, dz, saabb, baabb, asset.tri_data,
+        ox, oy, oz, dx, dy, dz, saabb, baabb, tri_data,
         rows=rows,
         t_max=t_init,
         interpret=interpret,
         n_supers=ns,
         super_factor=sf,
-        block_size=asset.block_size,
+        block_size=block_size,
     )
-    t = t.reshape(-1)[:n]
-    slot = slot.reshape(-1)[:n]
+    return t.reshape(-1)[:n], slot.reshape(-1)[:n]
+
+
+def raycast_asset_pallas(
+    origins,
+    dirs,
+    asset: SceneAsset,
+    t_max: float = np.inf,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+) -> RaycastResult:
+    """Intersect rays with the resident scene via the Pallas TPU kernel.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    t, slot = raycast_pallas_components(
+        origins, dirs,
+        asset.tri_data, asset.block_lo, asset.block_hi,
+        asset.super_lo, asset.super_hi,
+        block_size=asset.block_size,
+        super_factor=asset.super_factor,
+        t_max=t_max,
+        rows=rows,
+        interpret=interpret,
+    )
     return finalize_result(origins, dirs, t, slot, asset)

@@ -28,8 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ipcgen_tpu.ops.raycast import finalize_result
-from ipcgen_tpu.ops.raycast import _raycast_asset_xla_core
+from ipcgen_tpu.ops.raycast import (
+    finalize_result,
+    raycast_xla_culled_components,
+)
 from ipcgen_tpu.ops.scene_asset import SceneAsset
 
 shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
@@ -69,21 +71,56 @@ def _pad_rays(origins: jnp.ndarray, dirs: jnp.ndarray, multiple: int):
     return origins, dirs, n
 
 
+def _local_raycast(
+    o, d, tri_data, blo, bhi, slo, shi,
+    *, block_size: int, super_factor: int, t_max: float,
+    backend: str, interpret: bool,
+):
+    """Per-shard raycast core: the Pallas kernel on TPU (or in interpret mode
+    for CPU-mesh tests), the AABB-culled XLA traversal otherwise.  Both share
+    the component-level (t, packed_slot) contract."""
+    if backend == "pallas":
+        from ipcgen_tpu.ops.raycast_pallas import raycast_pallas_components
+
+        return raycast_pallas_components(
+            o, d, tri_data, blo, bhi, slo, shi,
+            block_size=block_size, super_factor=super_factor,
+            t_max=t_max, interpret=interpret,
+        )
+    return raycast_xla_culled_components(
+        o, d, tri_data, blo, bhi, slo, shi,
+        block_size=block_size, super_factor=super_factor, t_max=t_max,
+    )
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def sharded_raycast_rays(
     origins,
     dirs,
     asset: SceneAsset,
     mesh: Mesh,
     axis: str = "rays",
+    backend: str = "auto",
+    t_max: float = np.inf,
+    interpret: bool = False,
 ):
     """Data-parallel raycast: rays sharded, asset replicated.
 
-    Returns a RaycastResult for the original (unpadded) ray count.
+    Each chip runs the flagship Pallas kernel (or the culled XLA traversal
+    off-TPU) on its ray shard — the sharded path no longer leaves the
+    single-chip kernel's throughput on the table.  Returns a RaycastResult
+    for the original (unpadded) ray count.
     """
     n_shards = mesh.shape[axis]
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     origins_p, dirs_p, n = _pad_rays(origins, dirs, n_shards)
+    backend = _resolve_backend(backend)
 
     asset_specs = jax.tree.map(lambda _: P(), asset)
 
@@ -95,38 +132,62 @@ def sharded_raycast_rays(
         check_vma=False,
     )
     def _shard_fn(o, d, a):
-        return _raycast_asset_xla_core(o, d, a)
+        return _local_raycast(
+            o, d, a.tri_data, a.block_lo, a.block_hi, a.super_lo, a.super_hi,
+            block_size=a.block_size, super_factor=a.super_factor,
+            t_max=t_max, backend=backend, interpret=interpret,
+        )
 
     t, slot = jax.jit(_shard_fn)(origins_p, dirs_p, asset)
     return finalize_result(origins, dirs, t[:n], slot[:n], asset)
 
 
 def _shard_asset_blocks(asset: SceneAsset, n_shards: int) -> SceneAsset:
-    """Pad the leaf-block arrays so NB divides the triangle axis."""
+    """Pad the leaf blocks so each shard gets whole super-blocks, and rebuild
+    the super AABBs to match.
+
+    The block count is padded to a multiple of ``n_shards * super_factor``:
+    every shard then owns ``shard_nb / super_factor`` complete supers, so the
+    per-shard two-level culled traversal (Pallas or XLA) works on a plain
+    slice of (tri_data, block AABBs, super AABBs).
+    """
     nb = asset.num_blocks
-    pad = (-nb) % n_shards
-    if pad == 0 and asset.num_supers % n_shards == 0:
-        return asset
     tb = asset.block_size
-    tri_data = jnp.concatenate(
-        [asset.tri_data, jnp.full((pad, 16, tb), 1e7, jnp.float32)], axis=0
-    )
-    nanpad = jnp.full((pad, 3), jnp.nan, jnp.float32)
-    block_lo = jnp.concatenate([asset.block_lo, nanpad])
-    block_hi = jnp.concatenate([asset.block_hi, nanpad])
-    tri_index = jnp.concatenate(
-        [asset.tri_index, jnp.full((pad * tb,), -1, jnp.int32)]
-    )
-    tri_normal = jnp.concatenate(
-        [asset.tri_normal, jnp.zeros((pad * tb, 3), jnp.float32)]
-    )
     sf = asset.super_factor
+    quantum = n_shards * sf
+    pad = (-nb) % quantum
+    nb_p = nb + pad
+    if pad:
+        tri_data = jnp.concatenate(
+            [asset.tri_data, jnp.full((pad, 16, tb), 1e7, jnp.float32)], axis=0
+        )
+        nanpad = jnp.full((pad, 3), jnp.nan, jnp.float32)
+        block_lo = jnp.concatenate([asset.block_lo, nanpad])
+        block_hi = jnp.concatenate([asset.block_hi, nanpad])
+        tri_index = jnp.concatenate(
+            [asset.tri_index, jnp.full((pad * tb,), -1, jnp.int32)]
+        )
+        tri_normal = jnp.concatenate(
+            [asset.tri_normal, jnp.zeros((pad * tb, 3), jnp.float32)]
+        )
+    else:
+        tri_data = asset.tri_data
+        block_lo, block_hi = asset.block_lo, asset.block_hi
+        tri_index, tri_normal = asset.tri_index, asset.tri_normal
+    # Rebuild supers over the padded block axis (NaN-aware: padded blocks
+    # carry NaN AABBs, and all-NaN supers can never pass the slab test).
+    ns_p = nb_p // sf
+    if pad or asset.num_supers != ns_p:
+        sup_lo = jnp.nanmin(block_lo.reshape(ns_p, sf, 3), axis=1)
+        sup_hi = jnp.nanmax(block_hi.reshape(ns_p, sf, 3), axis=1)
+    else:
+        sup_lo, sup_hi = asset.super_lo, asset.super_hi
     return SceneAsset(
         tri_data=tri_data,
         block_lo=block_lo,
         block_hi=block_hi,
-        super_lo=asset.super_lo,
-        super_hi=asset.super_hi,
+        super_lo=sup_lo,
+        super_hi=sup_hi,
         tri_index=tri_index,
         tri_normal=tri_normal,
         n_tris=asset.n_tris,
@@ -141,10 +202,15 @@ def sharded_raycast_tris(
     asset: SceneAsset,
     mesh: Mesh,
     axis: str = "tris",
+    backend: str = "auto",
+    t_max: float = np.inf,
+    interpret: bool = False,
 ):
     """Triangle-sharded raycast: each chip holds a slice of the leaf blocks
-    and intersects ALL rays against it; the global nearest hit is selected by
-    an all_gather + argmin over the device axis (ICI collective).
+    (whole super-blocks, see _shard_asset_blocks) and runs the full two-level
+    AABB-culled traversal — Pallas on TPU, culled XLA elsewhere — over ALL
+    rays against its slice; the global nearest hit is selected by an
+    all_gather + argmin over the device axis (ICI collective).
     """
     n_shards = mesh.shape[axis]
     origins = jnp.asarray(origins, jnp.float32)
@@ -152,51 +218,31 @@ def sharded_raycast_tris(
     asset_p = _shard_asset_blocks(asset, n_shards)
     nb = asset_p.num_blocks
     tb = asset_p.block_size
+    sf = asset_p.super_factor
     shard_nb = nb // n_shards
+    backend = _resolve_backend(backend)
 
-    # Per-shard inputs: block panels + AABBs sharded on the block axis;
-    # rays replicated.
+    # Per-shard inputs: block panels + block/super AABBs sharded on the
+    # block axis; rays replicated.
     in_specs = (
         P(),  # origins
         P(),  # dirs
         P(axis),  # tri_data
         P(axis),  # block_lo
         P(axis),  # block_hi
+        P(axis),  # super_lo
+        P(axis),  # super_hi
     )
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
     )
-    def _shard_fn(o, d, tri_data, blo, bhi):
-        # Local scan over this shard's blocks (slot ids are shard-local).
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-        from ipcgen_tpu.ops.geometry import moller_trumbore_components
-
-        def body(carry, b):
-            best_t, best_i = carry
-            blk = tri_data[b]
-            t = moller_trumbore_components(
-                ox, oy, oz, dx, dy, dz,
-                blk[0][None, :], blk[1][None, :], blk[2][None, :],
-                blk[3][None, :], blk[4][None, :], blk[5][None, :],
-                blk[6][None, :], blk[7][None, :], blk[8][None, :],
-            )
-            tmin = jnp.min(t, axis=1)
-            targ = jnp.argmin(t, axis=1).astype(jnp.int32) + b * tb
-            take = tmin < best_t
-            return (
-                jnp.where(take, tmin, best_t),
-                jnp.where(take, targ, best_i),
-            ), None
-
-        init = (
-            jnp.full(o.shape[0], jnp.inf, jnp.float32),
-            jnp.full(o.shape[0], -1, jnp.int32),
-        )
-        (t_local, slot_local), _ = jax.lax.scan(
-            body, init, jnp.arange(tri_data.shape[0])
+    def _shard_fn(o, d, tri_data, blo, bhi, slo, shi):
+        t_local, slot_local = _local_raycast(
+            o, d, tri_data, blo, bhi, slo, shi,
+            block_size=tb, super_factor=sf,
+            t_max=t_max, backend=backend, interpret=interpret,
         )
         # Shard-local slot -> global slot
         shard_id = jax.lax.axis_index(axis)
@@ -211,13 +257,17 @@ def sharded_raycast_tris(
         return t_all[winner, r_idx], slot_all[winner, r_idx]
 
     t, slot = jax.jit(_shard_fn)(
-        origins, dirs, asset_p.tri_data, asset_p.block_lo, asset_p.block_hi
+        origins, dirs, asset_p.tri_data, asset_p.block_lo, asset_p.block_hi,
+        asset_p.super_lo, asset_p.super_hi,
     )
     return finalize_result(origins, dirs, t, slot, asset_p)
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_scan_core(mesh: Mesh, ray_axis: str, max_range: float):
+def _sharded_scan_core(
+    mesh: Mesh, ray_axis: str, max_range: float,
+    backend: str = "auto", interpret: bool = False,
+):
     """Build (and cache) the fully-jitted sharded scan program for a mesh."""
     from ipcgen_tpu.models import beams
     from ipcgen_tpu.sim.scan import ScanBatch
@@ -229,7 +279,8 @@ def _sharded_scan_core(mesh: Mesh, ray_axis: str, max_range: float):
         w, r, _ = dirs_world.shape
         res = sharded_raycast_rays(
             origins.reshape(w * r, 3), dirs_world.reshape(w * r, 3), asset, mesh,
-            axis=ray_axis,
+            axis=ray_axis, backend=backend, t_max=max_range,
+            interpret=interpret,
         )
         t = res.t.reshape(w, r)
         hit = res.hit.reshape(w, r)
@@ -261,13 +312,17 @@ def sharded_raycast_2d(
     mesh: Mesh,
     ray_axis: str = "rays",
     tri_axis: str = "tris",
+    backend: str = "auto",
+    t_max: float = np.inf,
+    interpret: bool = False,
 ):
     """Combined sharding over a 2-D device mesh: rays over ``ray_axis`` (DP)
     AND triangle blocks over ``tri_axis`` (TP analog).
 
-    Each device intersects its ray shard against its block shard; the global
-    nearest hit per ray combines with an ``all_gather`` + argmin over the
-    triangle axis only (rays never move).
+    Each device runs the two-level AABB-culled traversal (Pallas on TPU) of
+    its ray shard against its block shard; the global nearest hit per ray
+    combines with an ``all_gather`` + argmin over the triangle axis only
+    (rays never move).
     """
     n_ray_shards = mesh.shape[ray_axis]
     n_tri_shards = mesh.shape[tri_axis]
@@ -276,47 +331,29 @@ def sharded_raycast_2d(
     origins_p, dirs_p, n = _pad_rays(origins, dirs, n_ray_shards)
     asset_p = _shard_asset_blocks(asset, n_tri_shards)
     tb = asset_p.block_size
+    sf = asset_p.super_factor
     shard_nb = asset_p.num_blocks // n_tri_shards
+    backend = _resolve_backend(backend)
 
     in_specs = (
         P(ray_axis),  # origins
         P(ray_axis),  # dirs
         P(tri_axis),  # tri_data (rays replicated across tri_axis, blocks across ray_axis)
+        P(tri_axis),  # block_lo
+        P(tri_axis),  # block_hi
+        P(tri_axis),  # super_lo
+        P(tri_axis),  # super_hi
     )
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs,
         out_specs=(P(ray_axis), P(ray_axis)), check_vma=False,
     )
-    def _shard_fn(o, d, tri_data):
-        from ipcgen_tpu.ops.geometry import moller_trumbore_components
-
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-
-        def body(carry, b):
-            best_t, best_i = carry
-            blk = tri_data[b]
-            t = moller_trumbore_components(
-                ox, oy, oz, dx, dy, dz,
-                blk[0][None, :], blk[1][None, :], blk[2][None, :],
-                blk[3][None, :], blk[4][None, :], blk[5][None, :],
-                blk[6][None, :], blk[7][None, :], blk[8][None, :],
-            )
-            tmin = jnp.min(t, axis=1)
-            targ = jnp.argmin(t, axis=1).astype(jnp.int32) + b * tb
-            take = tmin < best_t
-            return (
-                jnp.where(take, tmin, best_t),
-                jnp.where(take, targ, best_i),
-            ), None
-
-        init = (
-            jnp.full(o.shape[0], jnp.inf, jnp.float32),
-            jnp.full(o.shape[0], -1, jnp.int32),
-        )
-        (t_local, slot_local), _ = jax.lax.scan(
-            body, init, jnp.arange(tri_data.shape[0])
+    def _shard_fn(o, d, tri_data, blo, bhi, slo, shi):
+        t_local, slot_local = _local_raycast(
+            o, d, tri_data, blo, bhi, slo, shi,
+            block_size=tb, super_factor=sf,
+            t_max=t_max, backend=backend, interpret=interpret,
         )
         tri_id = jax.lax.axis_index(tri_axis)
         slot_global = jnp.where(
@@ -328,7 +365,10 @@ def sharded_raycast_2d(
         r_idx = jnp.arange(t_all.shape[1])
         return t_all[winner, r_idx], slot_all[winner, r_idx]
 
-    t, slot = jax.jit(_shard_fn)(origins_p, dirs_p, asset_p.tri_data)
+    t, slot = jax.jit(_shard_fn)(
+        origins_p, dirs_p, asset_p.tri_data, asset_p.block_lo,
+        asset_p.block_hi, asset_p.super_lo, asset_p.super_hi,
+    )
     return finalize_result(origins, dirs, t[:n], slot[:n], asset_p)
 
 
@@ -339,19 +379,24 @@ def scan_waypoints_sharded(
     mesh: Mesh,
     key: Optional[jax.Array] = None,
     ray_axis: str = "rays",
+    backend: str = "auto",
+    interpret: bool = False,
 ):
     """Fused multi-waypoint scan with rays sharded across the device mesh.
 
     Drop-in sharded counterpart of ipcgen_tpu.sim.scan.scan_waypoints; the
-    whole post-beam-gen program (transform, sharded raycast, masking) is one
-    compiled dispatch.
+    whole post-beam-gen program (transform, per-chip Pallas/culled-XLA
+    raycast with range culling, masking) is one compiled dispatch.
     """
     from ipcgen_tpu.sim.scan import sensor_dirs_batch
 
     poses = jnp.asarray(poses, jnp.float32)
     n_waypoints = poses.shape[0]
     dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
-    core = _sharded_scan_core(mesh, ray_axis, float(intrinsics.max_range))
+    core = _sharded_scan_core(
+        mesh, ray_axis, float(intrinsics.max_range),
+        backend=_resolve_backend(backend), interpret=bool(interpret),
+    )
     return core(asset, poses, dirs_sensor, keep)
 
 

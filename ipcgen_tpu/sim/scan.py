@@ -211,15 +211,20 @@ def scan_waypoints(
     n_waypoints = poses.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
-    beam_key, noise_key = jax.random.split(key)
-    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, beam_key)
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     sigma = (
         float(getattr(intrinsics, "range_noise_std", 0.0))
         if apply_range_noise
         else 0.0
     )
+    if sigma > 0.0:
+        beam_key, noise_key = jax.random.split(key)
+    else:
+        # No extra eager dispatch on the hot path: over a remote-attached
+        # TPU every un-jitted op costs an RPC round trip (~0.5 ms).
+        beam_key = noise_key = key
+    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, beam_key)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _scan_core(
         asset,
         poses,

@@ -473,9 +473,13 @@ def run_single_scene_simulation(
     )
     if use_auto_trajectory:
         print(f"[Simulation] Using auto-generated trajectory for {scene_name}.")
+        # scene_name is propagated so the summary/statistics carry the
+        # room id, not the mesh file stem (the reference forgets to pass it
+        # in the auto branch, s3dis_simulator.py:551-555 — resolved).
         sim_scene = simulator.run_auto_simulation(
             scene_path=scene_path, num_waypoints=num_waypoints,
-            output_dir=output_dir, save_visualizations=save_visualizations,
+            output_dir=output_dir, scene_name=scene_name,
+            save_visualizations=save_visualizations,
             save_executor=save_executor,
         )
     else:

@@ -161,3 +161,55 @@ def test_large_block_padding(rng):
     )
     res = raycast_asset_xla(origins, dirs, asset)
     np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_brute), rtol=1e-4)
+
+
+def test_culled_xla_matches_brute(rng):
+    """Two-level AABB-culled XLA traversal is exact vs the brute oracle on an
+    open scene (misses present) with random incoherent rays."""
+    from ipcgen_tpu.ops.raycast import raycast_asset_xla_culled
+
+    verts, tris = _random_soup(rng)
+    origins, dirs = _random_rays(rng, n=700)
+    asset = build_scene_asset(verts, tris, block_size=16, super_factor=4)
+    res_o = raycast_asset_xla(origins, dirs, asset)
+    res_c = raycast_asset_xla_culled(origins, dirs, asset)
+    np.testing.assert_array_equal(np.asarray(res_c.hit), np.asarray(res_o.hit))
+    np.testing.assert_allclose(
+        np.asarray(res_c.t), np.asarray(res_o.t), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_c.tri_id), np.asarray(res_o.tri_id)
+    )
+
+
+def test_culled_xla_t_max_matches_postfilter(box_room, rng):
+    """Range culling at the AABB level == post-hoc strict < filter."""
+    from ipcgen_tpu.ops.raycast import raycast_asset, raycast_asset_xla_culled
+
+    asset = build_scene_asset(box_room.vertices, box_room.triangles,
+                              block_size=8, super_factor=2)
+    origins = np.tile(np.array([2.0, 1.5, 1.25], np.float32), (400, 1))
+    dirs = rng.normal(size=(400, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t_max = 1.9
+    res_c = raycast_asset_xla_culled(origins, dirs, asset, t_max=t_max)
+    res_b = raycast_asset(origins, dirs, asset, backend="xla_brute", t_max=t_max)
+    np.testing.assert_array_equal(np.asarray(res_c.hit), np.asarray(res_b.hit))
+    np.testing.assert_allclose(
+        np.asarray(res_c.t), np.asarray(res_b.t), rtol=1e-6
+    )
+
+
+def test_backend_xla_dispatch_uses_culled(box_room):
+    """backend='xla' dispatches to the culled core with identical results."""
+    from ipcgen_tpu.ops.raycast import raycast_asset
+
+    asset = build_scene_asset(box_room.vertices, box_room.triangles,
+                              block_size=8, super_factor=2)
+    origins = np.tile(np.array([1.0, 1.0, 1.0], np.float32), (256, 1))
+    rng = np.random.default_rng(1)
+    dirs = rng.normal(size=(256, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    res_x = raycast_asset(origins, dirs, asset, backend="xla")
+    res_b = raycast_asset(origins, dirs, asset, backend="xla_brute")
+    np.testing.assert_allclose(np.asarray(res_x.t), np.asarray(res_b.t), rtol=1e-6)
