@@ -74,6 +74,9 @@ def reconstruct_room(
 
     reconstructor = S3DISReconstructor(config)
     evaluator = S3DISEvaluator(config)
+    from ipcgen_tpu.recon.projection_viz import ReconstructionVisualizer
+
+    visualizer = ReconstructionVisualizer(config)
     results: Dict = {}
     variants = room_data.get("variants", {})
     if sparsity:
@@ -88,6 +91,19 @@ def reconstruct_room(
             )
             mesh_path = scene_dir / f"mesh_{name}.ply"
             reconstructor.save_mesh(mesh, mesh_path, stats)
+            # Per-variant projection PNGs (reference: s3dis_nksr_reconstructor
+            # .py:158-264, called from its main loop), gated by
+            # visualization.save_visualizations.
+            visualizer.visualize_pointcloud(
+                variant["points"], colors=variant.get("colors"),
+                output_path=scene_dir / f"projection_points_{name}.png",
+                title=f"Input Points ({name})",
+            )
+            visualizer.visualize_mesh_projection(
+                mesh,
+                output_path=scene_dir / f"projection_mesh_{name}.png",
+                title=f"Reconstructed Mesh ({name})",
+            )
             entry = {"reconstruction_stats": stats, "mesh_path": str(mesh_path)}
             eval_cfg = config.get("evaluation", {})
             if eval_cfg.get("compute_chamfer") or eval_cfg.get("compute_mesh_quality"):

@@ -89,3 +89,24 @@ def test_normals_viz(tmp_path, rng):
     assert visualize_normals_high_quality(pts, normals, output_dir=tmp_path).exists()
     assert visualize_normal_statistics(normals, tmp_path / "ns.png").exists()
     assert visualize_normals(pts, None) is None
+
+
+def test_recon_projection_visualizer(tmp_path, box_room, rng):
+    from ipcgen_tpu.recon import ReconstructionVisualizer
+
+    cfg = {"visualization": {"save_visualizations": True, "max_vis_points": 300}}
+    viz = ReconstructionVisualizer(cfg)
+    pts = rng.uniform(0, 3, (1000, 3))
+    cols = rng.uniform(0, 1, (1000, 3))
+    out = viz.visualize_pointcloud(pts, colors=cols,
+                                   output_path=tmp_path / "pc.png")
+    assert out.exists()
+    out = viz.visualize_pointcloud(pts, output_path=tmp_path / "pc_nocol.png")
+    assert out.exists()
+    out = viz.visualize_mesh_projection(box_room, tmp_path / "mesh.png")
+    assert out.exists()
+    # Gate: save_visualizations=False renders nothing (reference
+    # s3dis_nksr_reconstructor.py:166-167).
+    off = ReconstructionVisualizer({"visualization": {"save_visualizations": False}})
+    assert off.visualize_pointcloud(pts, output_path=tmp_path / "no.png") is None
+    assert not (tmp_path / "no.png").exists()
