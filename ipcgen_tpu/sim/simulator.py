@@ -20,6 +20,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ipcgen_tpu.containers import (
@@ -176,12 +177,54 @@ class S3DISSimulator:
         return waypoints, quality.to_dict()
 
     # ------------------------------------------------------------------
-    def run_simulation(self, waypoints: List[Waypoint]) -> S3DISSimScene:
-        """Scan every waypoint in one fused device batch (reference loop:
-        :220-296; per-frame quality formulas preserved exactly)."""
+    def dispatch_scan(self, waypoints: List[Waypoint], device=None):
+        """Launch the fused multi-waypoint scan (async JAX dispatch).
+
+        With ``device`` the scene asset, poses, and PRNG key are committed to
+        that device so the compiled scan executes there — several rooms'
+        scans dispatched on different chips then run concurrently (the
+        room-level DP axis, SURVEY.md §2.4 "one room per chip").  Without
+        ``device`` placement follows the default (opt-in multi-chip ray-DP
+        shards one room's rays instead).
+        """
         if self.scene is None or self.scene_asset is None:
             raise ValueError("Scene not loaded. Call load_scene() first.")
+        poses = waypoints_to_pose_batch(waypoints)
+        self.rng_key, scan_key = jax.random.split(self.rng_key)
+        # Multi-chip ray-DP is opt-in: the production topology for room
+        # batches is room-level DP with the per-chip Pallas kernel; sharding
+        # one room's rays across chips is for single-room latency or meshes
+        # exceeding one chip's HBM.
+        multichip = self.config.get("raycast_engine", {}).get("multichip", False)
+        if device is None and bool(multichip) and len(jax.devices()) > 1:
+            from ipcgen_tpu.parallel.shard import (
+                make_device_mesh,
+                scan_waypoints_sharded,
+            )
 
+            device_mesh = make_device_mesh()
+            return scan_waypoints_sharded(
+                self.scene_asset, self.lidar_config, poses, device_mesh,
+                key=scan_key,
+            )
+        if device is not None:
+            self.scene_asset = jax.device_put(self.scene_asset, device)
+            poses = jax.device_put(jnp.asarray(poses, jnp.float32), device)
+            scan_key = jax.device_put(scan_key, device)
+        return scan_waypoints(
+            self.scene_asset,
+            self.lidar_config,
+            poses,
+            key=scan_key,
+            backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
+            apply_range_noise=bool(self.config.get("apply_range_noise", False)),
+        )
+
+    def collect_scan(
+        self, batch, waypoints: List[Waypoint], start_time: float
+    ) -> S3DISSimScene:
+        """Block on a dispatched scan and build the S3DISSimScene (reference
+        per-frame quality formulas preserved exactly, :276-284)."""
         sim_scene = S3DISSimScene(
             scene_name=self.scene.scene_name,
             simulation_config=self.config,
@@ -190,38 +233,8 @@ class S3DISSimulator:
             area=self.config.get("area", None),
             room=self.config.get("room", None),
         )
-
-        start_time = time.time()
         total_points_per_scan = self.lidar_config.get_total_points_per_scan()
         room_volume = self.scene.room_bounds.get_volume()
-
-        poses = waypoints_to_pose_batch(waypoints)
-        self.rng_key, scan_key = jax.random.split(self.rng_key)
-        # Multi-chip ray-DP is opt-in: the production topology for room
-        # batches is room-level DP with the per-chip Pallas kernel; sharding
-        # one room's rays across chips (XLA core per shard) is for
-        # single-room latency or meshes exceeding one chip's HBM.
-        multichip = self.config.get("raycast_engine", {}).get("multichip", False)
-        if bool(multichip) and len(jax.devices()) > 1:
-            from ipcgen_tpu.parallel.shard import (
-                make_device_mesh,
-                scan_waypoints_sharded,
-            )
-
-            device_mesh = make_device_mesh()
-            batch = scan_waypoints_sharded(
-                self.scene_asset, self.lidar_config, poses, device_mesh,
-                key=scan_key,
-            )
-        else:
-            batch = scan_waypoints(
-                self.scene_asset,
-                self.lidar_config,
-                poses,
-                key=scan_key,
-                backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
-                apply_range_noise=bool(self.config.get("apply_range_noise", False)),
-            )
         jax.block_until_ready(batch.t)
         all_points, all_angles, all_mask, all_t = batch.to_numpy(with_ranges=True)
 
@@ -270,6 +283,13 @@ class S3DISSimulator:
                 f"{self.config.get('raycast_engine', {}).get('backend', 'auto')})"
             )
         return sim_scene
+
+    def run_simulation(self, waypoints: List[Waypoint]) -> S3DISSimScene:
+        """Scan every waypoint in one fused device batch (reference loop:
+        :220-296)."""
+        start_time = time.time()
+        batch = self.dispatch_scan(waypoints)
+        return self.collect_scan(batch, waypoints, start_time)
 
     # ------------------------------------------------------------------
     def save_results(
@@ -501,6 +521,93 @@ def run_single_scene_simulation(
     return sim_scene
 
 
+def run_scenes_device_parallel(
+    scene_jobs: List[Dict[str, Any]],
+    num_waypoints: int = 20,
+    output_base_dir: str = "simulation_results",
+    devices: Optional[List[Any]] = None,
+    robot_height: float = 1.0,
+    use_dense_lidar: bool = False,
+    use_blk2go: bool = True,
+    s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
+    seed: int = 0,
+    save_visualizations: bool = False,
+) -> Tuple[List[Tuple[str, S3DISSimScene]], List[Tuple[str, str]]]:
+    """Room-level data parallelism: one room per chip (SURVEY.md §2.4).
+
+    Rooms are assigned round-robin to local devices and processed in waves of
+    ``len(devices)``.  Within a wave, each room's scene asset is committed to
+    its device and the fused scan program dispatched asynchronously — JAX
+    dispatch returns before execution finishes, so up to ``len(devices)``
+    rooms' raycast programs run concurrently, one per chip.  Host-side work
+    (trajectory planning before, label transfer/export after) drains
+    sequentially around the device wave.
+
+    ``scene_jobs`` entries: ``{"scene_path", "scene_name", "area", "room"}``.
+    Returns ``(successful [(name, sim_scene)], failed [(name, error)])``.
+    Per-room outputs are bit-identical to the sequential driver: each room
+    keeps its own simulator instance and PRNG seed, and device placement does
+    not enter any computation semantics.
+    """
+    if devices is None:
+        devices = jax.devices()
+    successful: List[Tuple[str, S3DISSimScene]] = []
+    failed: List[Tuple[str, str]] = []
+    n_dev = max(len(devices), 1)
+    for wave_start in range(0, len(scene_jobs), n_dev):
+        wave = scene_jobs[wave_start : wave_start + n_dev]
+        # Phase 1 — load + plan on host, then dispatch each room's scan onto
+        # its own device (async).
+        inflight = []
+        for j, job in enumerate(wave):
+            name = job["scene_name"]
+            device = devices[j % n_dev]
+            try:
+                config = {
+                    "raycast_engine": {"use_gpu": True},
+                    "trajectory": {"robot_height": robot_height},
+                    "s3dis_data_root": s3dis_data_root,
+                    "area": job.get("area"),
+                    "room": job.get("room"),
+                    "seed": seed,
+                }
+                simulator = S3DISSimulator(
+                    config, use_dense_lidar=use_dense_lidar, use_blk2go=use_blk2go
+                )
+                t0 = time.time()
+                simulator.load_scene(job["scene_path"], name)
+                waypoints, analysis_info = simulator.generate_auto_trajectory(
+                    num_waypoints
+                )
+                batch = simulator.dispatch_scan(waypoints, device=device)
+                inflight.append(
+                    (name, simulator, waypoints, analysis_info, batch, t0)
+                )
+                print(f"[RoomDP] {name} dispatched on {device}")
+            except Exception as e:
+                failed.append((name, str(e)))
+                print(f"[RoomDP] {name} failed at dispatch: {e}")
+        # Phase 2 — collect each room's result and export.
+        for name, simulator, waypoints, analysis_info, batch, t0 in inflight:
+            try:
+                sim_scene = simulator.collect_scan(batch, waypoints, t0)
+                output_dir = Path(output_base_dir) / name
+                simulator.save_results(
+                    sim_scene, output_dir, waypoints,
+                    save_visualizations=save_visualizations,
+                )
+                with open(
+                    output_dir / "trajectory_analysis.json", "w", encoding="utf-8"
+                ) as f:
+                    json.dump(analysis_info, f, indent=2, ensure_ascii=False)
+                successful.append((name, sim_scene))
+                print(f"[RoomDP] {name} completed.")
+            except Exception as e:
+                failed.append((name, str(e)))
+                print(f"[RoomDP] {name} failed at collect/export: {e}")
+    return successful, failed
+
+
 def find_available_scenes(
     reconstruction_dir: str = "outputs/s3dis_reconstruction/reconstruction_results",
 ) -> List[Tuple[str, str, str]]:
@@ -523,6 +630,32 @@ def find_available_scenes(
     return available_scenes
 
 
+def _parse_area_room(area_room: str) -> Tuple[str, str]:
+    """Extract (area, room) identifiers from a scene dir name
+    (reference: :658-667)."""
+    if "_" in area_room:
+        parts = area_room.split("_")
+        if len(parts) >= 3 and parts[0] == "Area":
+            return f"{parts[0]}_{parts[1]}", "_".join(parts[2:])
+        area, room = area_room.split("_", 1)
+        return area, room
+    return area_room, area_room
+
+
+def _print_batch_summary(
+    n_total: int, successful, skipped, failed, total_time: float
+) -> None:
+    print(f"[Batch] Total scenes: {n_total}")
+    print(f"[Batch] Completed: {len(successful)}")
+    print(f"[Batch] Skipped: {len(skipped)}")
+    print(f"[Batch] Failed: {len(failed)}")
+    print(f"[Batch] Total time: {total_time:.1f}s ({total_time / 60:.1f} min)")
+    if n_total:
+        print(f"[Batch] Average per scene: {total_time / n_total:.1f}s")
+        rooms_per_hour = len(successful) / total_time * 3600 if total_time > 0 else 0
+        print(f"[Batch] Throughput: {rooms_per_hour:.1f} rooms/hour")
+
+
 def main(
     reconstruction_dir: str = "outputs/s3dis_reconstruction/reconstruction_results",
     num_waypoints: int = 20,
@@ -535,6 +668,7 @@ def main(
     s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
     async_export: bool = False,
     save_visualizations: bool = True,
+    room_dp: bool = False,
 ) -> Dict[str, Any]:
     """Batch entry point over all reconstructed scenes (reference: :594-726)
     with the same skip/resume semantics: a scene is skipped when BOTH the
@@ -544,12 +678,62 @@ def main(
     ``async_export=True`` overlaps each scene's host-side export (label
     transfer, PLY/stats writing) with the next scene's device work via a
     single background thread (depth-1 double buffering; visualizations are
-    disabled in this mode)."""
+    disabled in this mode).
+
+    ``room_dp=True`` with multiple local devices instead schedules rooms
+    round-robin onto the devices — one room's fused scan per chip in flight
+    (run_scenes_device_parallel); per-room outputs are identical to the
+    sequential path."""
     print("=== S3DIS batch simulation ===")
     available_scenes = find_available_scenes(reconstruction_dir)
     if not available_scenes:
         print("[Batch] No scenes found. Verify the reconstruction directory.")
         return {"successful": [], "failed": [], "skipped": []}
+
+    if room_dp and len(jax.devices()) > 1:
+        # Room-level DP: rooms round-robin over local devices, one fused
+        # scan per chip in flight per wave (SURVEY.md §2.4 table row 3).
+        start_time = time.time()
+        jobs, skipped_scenes = [], []
+        for scene_path, scene_name, area_room in available_scenes:
+            scene_output_dir = Path(output_base_dir) / scene_name
+            ply_file = scene_output_dir / "combined_pointcloud_with_label.ply"
+            stats_file = scene_output_dir / "simulation_statistics.txt"
+            if ply_file.exists() and stats_file.exists():
+                print(f"[Batch] Scene {scene_name} already processed. Skipping.")
+                skipped_scenes.append(scene_name)
+                continue
+            elif ply_file.exists() or stats_file.exists():
+                print(f"[Batch] Scene {scene_name} partially processed. Re-running.")
+            area, room = _parse_area_room(area_room)
+            jobs.append(
+                {
+                    "scene_path": scene_path,
+                    "scene_name": scene_name,
+                    "area": area,
+                    "room": room,
+                }
+            )
+        successful_scenes, failed_scenes = run_scenes_device_parallel(
+            jobs,
+            num_waypoints=num_waypoints,
+            output_base_dir=output_base_dir,
+            robot_height=robot_height,
+            use_dense_lidar=use_dense_lidar,
+            use_blk2go=use_blk2go,
+            s3dis_data_root=s3dis_data_root,
+            save_visualizations=save_visualizations,
+        )
+        _print_batch_summary(
+            len(available_scenes), successful_scenes, skipped_scenes,
+            failed_scenes, time.time() - start_time,
+        )
+        return {
+            "successful": successful_scenes,
+            "failed": failed_scenes,
+            "skipped": skipped_scenes,
+            "total_time": time.time() - start_time,
+        }
 
     executor = None
     pending: Optional[Tuple[str, Any]] = None
@@ -572,16 +756,7 @@ def main(
         elif ply_file.exists() or stats_file.exists():
             print(f"[Batch] Scene {scene_name} partially processed. Re-running.")
         try:
-            # Extract area/room identifiers (reference: :658-667)
-            if "_" in area_room:
-                parts = area_room.split("_")
-                if len(parts) >= 3 and parts[0] == "Area":
-                    area = f"{parts[0]}_{parts[1]}"
-                    room = "_".join(parts[2:])
-                else:
-                    area, room = area_room.split("_", 1)
-            else:
-                area, room = area_room, area_room
+            area, room = _parse_area_room(area_room)
             # Depth-1 double buffering: block on the previous scene's export
             # before submitting a new one so at most one room is in flight.
             if pending is not None:
@@ -631,16 +806,10 @@ def main(
         executor.shutdown(wait=True)
 
     total_time = time.time() - start_time
-    n = len(available_scenes)
-    print(f"[Batch] Total scenes: {n}")
-    print(f"[Batch] Completed: {len(successful_scenes)}")
-    print(f"[Batch] Skipped: {len(skipped_scenes)}")
-    print(f"[Batch] Failed: {len(failed_scenes)}")
-    print(f"[Batch] Total time: {total_time:.1f}s ({total_time / 60:.1f} min)")
-    if n:
-        print(f"[Batch] Average per scene: {total_time / n:.1f}s")
-        rooms_per_hour = len(successful_scenes) / total_time * 3600 if total_time > 0 else 0
-        print(f"[Batch] Throughput: {rooms_per_hour:.1f} rooms/hour")
+    _print_batch_summary(
+        len(available_scenes), successful_scenes, skipped_scenes,
+        failed_scenes, total_time,
+    )
     return {
         "successful": successful_scenes,
         "failed": failed_scenes,
