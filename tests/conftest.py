@@ -37,3 +37,9 @@ def box_room():
     from ipcgen_tpu.containers import TriMesh
 
     return TriMesh.box(center=(2.0, 1.5, 1.25), size=(4.0, 3.0, 2.5), inward=True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs a real TPU chip (probed via subprocess)"
+    )

@@ -1,0 +1,96 @@
+"""Hardware parity: the Pallas kernel on a REAL TPU chip vs the XLA oracle.
+
+The suite runs on the CPU platform (conftest), so this test probes the chip
+from a subprocess that initializes jax normally; it is skipped when no TPU
+is attached.  This promotes the bench claim (compiled-kernel output equals
+the oracle on hardware, not just in the Pallas interpreter) into an
+asserted test — VERDICT r1 item 9.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_SCRIPT = r"""
+import numpy as np
+import jax
+
+if jax.default_backend() != "tpu":
+    print("NOTPU")
+    raise SystemExit(0)
+
+from ipcgen_tpu.containers import TriMesh
+from ipcgen_tpu.ops.raycast import raycast_asset
+from ipcgen_tpu.ops.scene_asset import build_scene_asset
+from ipcgen_tpu.utils.host import to_host
+
+rng = np.random.default_rng(0)
+room = TriMesh.box(center=(2, 1.5, 1.25), size=(4, 3, 2.5), inward=True)
+vs, ts = [room.vertices], [room.triangles]
+off = len(room.vertices)
+for _ in range(6):  # furniture clutter: occlusion + partial blocks
+    c = rng.uniform([0.6, 0.6, 0.2], [3.4, 2.4, 1.0])
+    b = TriMesh.box(center=tuple(c), size=tuple(rng.uniform(0.2, 0.8, 3)))
+    vs.append(b.vertices)
+    ts.append(b.triangles + off)
+    off += len(b.vertices)
+verts = np.concatenate(vs).astype(np.float32)
+tris = np.concatenate(ts).astype(np.int32)
+asset = build_scene_asset(verts, tris)
+
+n = 8192
+origins = np.tile(np.array([2, 1.5, 1.0], np.float32), (n, 1))
+dirs = rng.normal(size=(n, 3)).astype(np.float32)
+dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+# Last quarter: origins outside the room -> misses exercise the no-hit path.
+origins[3 * n // 4 :] = rng.uniform(-12, -6, (n // 4, 3)).astype(np.float32)
+
+res_p = raycast_asset(origins, dirs, asset, backend="pallas", t_max=20.0)
+res_o = raycast_asset(origins, dirs, asset, backend="xla_brute", t_max=20.0)
+
+hp, ho = to_host(res_p.hit), to_host(res_o.hit)
+failures = []
+if not np.array_equal(hp, ho):
+    failures.append(f"hit mask: {int((hp != ho).sum())} mismatches")
+else:
+    if not np.array_equal(np.asarray(res_p.t)[hp], np.asarray(res_o.t)[hp]):
+        failures.append("t not bit-exact")
+    if not np.array_equal(np.asarray(res_p.tri_id)[hp],
+                          np.asarray(res_o.tri_id)[hp]):
+        failures.append("tri_id mismatch")
+    if not np.array_equal(np.asarray(res_p.normals)[hp],
+                          np.asarray(res_o.normals)[hp]):
+        failures.append("normals not bit-exact")
+    if not np.array_equal(np.asarray(res_p.points)[hp],
+                          np.asarray(res_o.points)[hp]):
+        failures.append("points not bit-exact")
+if not hp.any() or hp.all():
+    failures.append(f"degenerate workload: hit_fraction={hp.mean()}")
+
+if failures:
+    print("PARITY_FAIL: " + "; ".join(failures))
+    raise SystemExit(1)
+print(f"PARITY_OK hits={int(hp.sum())}/{n}")
+"""
+
+
+def test_pallas_hardware_parity_vs_oracle():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if "NOTPU" in proc.stdout:
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
+    assert "PARITY_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
