@@ -287,19 +287,25 @@ def raycast_asset(
     Parameters
     ----------
     origins, dirs : (R, 3) arrays (dirs should be unit length).
-    backend : "auto" | "pallas" | "xla" | "xla_brute".  "auto" picks the
-        Pallas TPU kernel on TPU backends and the culled XLA path elsewhere;
+    backend : "auto" | "mxu" | "pallas" | "xla" | "xla_brute".  "auto"
+        picks the MXU pairs kernel (raycast_mxu.py, the fast path) on TPU
+        backends and the culled XLA path elsewhere.  "pallas" is the VPU
+        Moeller-Trumbore kernel (bit-exact vs the oracle; ~3x slower);
         "xla_brute" is the unculled block scan kept as the test oracle.
-    t_max : optional hit-distance cap — both fast paths cull blocks beyond
+    t_max : optional hit-distance cap — the fast paths cull blocks beyond
         the LiDAR max range at the AABB level; the brute path filters
         afterwards.
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     if backend == "auto":
-        # The Pallas kernel targets Mosaic/TPU only; any other backend (cpu,
+        # The Pallas/Mosaic kernels target TPU only; any other backend (cpu,
         # gpu, ...) takes the portable XLA path rather than failing.
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "mxu" if jax.default_backend() == "tpu" else "xla"
+    if backend == "mxu":
+        from ipcgen_tpu.ops.raycast_mxu import raycast_asset_mxu
+
+        return raycast_asset_mxu(origins, dirs, asset, t_max=t_max)
     if backend == "pallas":
         from ipcgen_tpu.ops.raycast_pallas import raycast_asset_pallas
 

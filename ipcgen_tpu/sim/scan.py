@@ -119,6 +119,24 @@ def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
     raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
 
 
+def patch_permutation(h: int, w: int, lines_pp: int = 8,
+                      az_pp: int = 128) -> np.ndarray:
+    """Ray order whose 1024-ray kernel tiles are angular PATCHES.
+
+    The natural beam order is line-major: a tile of 1024 consecutive rays is
+    one line's 92-degree azimuth ribbon.  Reordering to (line-group,
+    azimuth-group) patches of ``lines_pp x az_pp`` rays shrinks each tile's
+    solid angle, so the MXU kernel's per-tile candidate block lists get
+    ~1.6x shorter on cluttered rooms (measured; ordering is a pure
+    permutation — results are restored to beam order afterwards).
+    """
+    line = np.repeat(np.arange(h), w)
+    az = np.tile(np.arange(w), h)
+    return np.lexsort(
+        (az % az_pp, line % lines_pp, az // az_pp, line // lines_pp)
+    ).astype(np.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_range", "backend", "range_noise_std")
 )
@@ -128,28 +146,30 @@ def _scan_core(
     dirs_sensor: jnp.ndarray,
     keep: jnp.ndarray,
     noise_key: jnp.ndarray,
+    perm: jnp.ndarray,
+    inv_perm: jnp.ndarray,
     max_range: float,
     backend: str,
     range_noise_std: float,
 ) -> ScanBatch:
     """The whole post-beam-gen scan as ONE compiled program: pose transform,
-    raycast, range noise, range mask, and both incidence formulas fuse into a
-    single dispatch (eager per-op dispatch over the remote TPU link would
-    otherwise dominate the kernel time)."""
+    ray permutation, raycast, range noise, range mask, and both incidence
+    formulas fuse into a single dispatch (eager per-op dispatch over the
+    remote TPU link would otherwise dominate the kernel time)."""
     dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)  # (W, R, 3)
     origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
     w, r, _ = dirs_world.shape
     res = raycast_asset(
-        origins.reshape(w * r, 3),
-        dirs_world.reshape(w * r, 3),
+        origins[:, perm].reshape(w * r, 3),
+        dirs_world[:, perm].reshape(w * r, 3),
         asset,
         backend=backend,
         t_max=max_range,
     )
-    t = res.t.reshape(w, r)
-    hit = res.hit.reshape(w, r)
-    points = res.points.reshape(w, r, 3)
-    normals = res.normals.reshape(w, r, 3)
+    t = res.t.reshape(w, r)[:, inv_perm]
+    hit = res.hit.reshape(w, r)[:, inv_perm]
+    points = res.points.reshape(w, r, 3)[:, inv_perm]
+    normals = res.normals.reshape(w, r, 3)[:, inv_perm]
 
     if range_noise_std > 0.0:
         # Sensor range noise: the profile's sigma perturbs the measured
@@ -224,13 +244,26 @@ def scan_waypoints(
         beam_key = noise_key = key
     dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, beam_key)
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "mxu" if jax.default_backend() == "tpu" else "xla"
+    r = dirs_sensor.shape[1]
+    if backend == "mxu" and isinstance(intrinsics, Indoor8LineLidarIntrinsics):
+        h = (
+            len(intrinsics.vertical_degrees)
+            if intrinsics.vertical_degrees is not None
+            else intrinsics.vertical_res
+        )
+        perm = patch_permutation(h, r // h)
+    else:
+        perm = np.arange(r, dtype=np.int32)  # identity
+    inv_perm = np.argsort(perm).astype(np.int32)
     return _scan_core(
         asset,
         poses,
         dirs_sensor,
         keep,
         noise_key,
+        jnp.asarray(perm),
+        jnp.asarray(inv_perm),
         float(intrinsics.max_range),
         backend,
         sigma,

@@ -18,3 +18,24 @@ def to_host(x) -> np.ndarray:
     if hasattr(x, "dtype") and x.dtype == jnp.bool_ and not isinstance(x, np.ndarray):
         return np.asarray(jnp.asarray(x).astype(jnp.uint8)).astype(bool)
     return np.asarray(x)
+
+
+def sync(x) -> None:
+    """Wait until ``x``'s computation has actually finished.
+
+    ``jax.block_until_ready`` is NOT a completion barrier on remote-attached
+    devices (measured on the axon tunnel: it returns in ~100 us while the
+    kernel runs for hundreds of ms — it waits for the handle, not the data).
+    Any wall-clock measurement bracketed by ``block_until_ready`` silently
+    times dispatch, not execution.  Fetching one scalar derived from the
+    array is the only reliable barrier; this reduces on device first so the
+    transfer is O(1).
+    """
+    import jax.numpy as jnp
+
+    leaves = x if isinstance(x, (tuple, list)) else (x,)
+    for leaf in leaves:
+        arr = jnp.asarray(leaf)
+        if arr.dtype == jnp.bool_:
+            arr = arr.astype(jnp.uint8)
+        float(jnp.max(arr.ravel()[:1]))  # O(1) host read = completion barrier

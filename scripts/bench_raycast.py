@@ -97,14 +97,16 @@ def main():
     ).astype(np.float32)
     origins = np.tile(np.array([3.0, 2.5, 1.0], np.float32), (len(dirs), 1))
 
+    from ipcgen_tpu.utils.host import sync
+
     def bench(name, fn):
         res = fn()
-        jax.block_until_ready(res.t)
+        sync(res.t)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             res = fn()
-            jax.block_until_ready(res.t)
+            sync(res.t)
             times.append(time.perf_counter() - t0)
         dt = min(times)
         hits = int(np.asarray(res.hit).sum())

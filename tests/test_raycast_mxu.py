@@ -1,0 +1,158 @@
+"""MXU pairs-kernel raycast: parity vs the XLA oracle (interpret mode).
+
+The Pluecker/matmul formulation is not bit-identical to Moeller-Trumbore
+(different rounding + the 7-bit lane packing in t), so parity is asserted
+with tolerances: identical hit masks away from edge ties, t to 1e-4
+relative, identical winning triangles.
+"""
+
+import numpy as np
+import pytest
+
+from ipcgen_tpu.containers import TriMesh
+from ipcgen_tpu.ops import raycast_mxu
+from ipcgen_tpu.ops.raycast import raycast_asset_xla
+from ipcgen_tpu.ops.raycast_mxu import (
+    candidate_blocks,
+    raycast_asset_mxu,
+)
+from ipcgen_tpu.ops.scene_asset import build_scene_asset
+
+
+def _cluttered_room(rng, n_boxes=5):
+    room = TriMesh.box(center=(2, 1.5, 1.25), size=(4, 3, 2.5), inward=True)
+    vs, ts = [room.vertices], [room.triangles]
+    off = len(room.vertices)
+    for _ in range(n_boxes):
+        c = rng.uniform([0.6, 0.6, 0.2], [3.4, 2.4, 1.0])
+        b = TriMesh.box(center=tuple(c), size=tuple(rng.uniform(0.2, 0.8, 3)))
+        vs.append(b.vertices)
+        ts.append(b.triangles + off)
+        off += len(b.vertices)
+    return np.concatenate(vs).astype(np.float32), np.concatenate(ts).astype(
+        np.int32
+    )
+
+
+def test_single_triangle_closed_form():
+    verts = np.array([[0, 0, 2], [4, 0, 2], [0, 4, 2]], dtype=np.float32)
+    tris = np.array([[0, 1, 2]], dtype=np.int32)
+    asset = build_scene_asset(verts, tris, block_size=8, super_factor=2)
+    origins = np.array(
+        [[1, 1, 0], [1, 1, 5], [10, 10, 0], [1, 1, 0]], dtype=np.float32
+    )
+    dirs = np.array(
+        [[0, 0, 1], [0, 0, -1], [0, 0, 1], [0, 0, -1]], dtype=np.float32
+    )
+    res = raycast_asset_mxu(origins, dirs, asset, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(res.hit), [True, True, False, False]
+    )
+    np.testing.assert_allclose(np.asarray(res.t)[:2], [2.0, 3.0], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.points)[0], [1, 1, 2], atol=1e-3
+    )
+
+
+def test_parity_vs_oracle_cluttered(rng):
+    verts, tris = _cluttered_room(rng)
+    asset = build_scene_asset(verts, tris)
+    n = 2048
+    origins = np.tile(np.array([2, 1.5, 1.0], np.float32), (n, 1))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins[3 * n // 4 :] = rng.uniform(-12, -6, (n // 4, 3)).astype(
+        np.float32
+    )
+    res_o = raycast_asset_xla(origins, dirs, asset)
+    res_m = raycast_asset_mxu(origins, dirs, asset, t_max=20.0, interpret=True)
+    hit_o = np.asarray(res_o.hit) & (np.asarray(res_o.t) < 20.0)
+    hit_m = np.asarray(res_m.hit)
+    agree = hit_m == hit_o
+    assert agree.mean() >= 0.999, agree.mean()
+    both = hit_m & hit_o
+    assert both.sum() > n // 2
+    np.testing.assert_allclose(
+        np.asarray(res_m.t)[both], np.asarray(res_o.t)[both], rtol=1e-3
+    )
+    same_tri = (
+        np.asarray(res_m.tri_id)[both] == np.asarray(res_o.tri_id)[both]
+    )
+    assert same_tri.mean() > 0.999
+
+
+def test_overflow_tiles_walk_all_blocks(rng, monkeypatch):
+    """Tiles with more candidates than VMAX fall back to the full block walk
+    and still return correct results."""
+    monkeypatch.setattr(raycast_mxu, "VMAX", 2)
+    verts, tris = _cluttered_room(rng, n_boxes=3)
+    asset = build_scene_asset(verts, tris, block_size=8, super_factor=2)
+    assert asset.num_blocks > 2
+    n = 1024
+    origins = np.tile(np.array([2, 1.5, 1.0], np.float32), (n, 1))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    res_o = raycast_asset_xla(origins, dirs, asset)
+    res_m = raycast_asset_mxu(origins, dirs, asset, interpret=True)
+    hit_o = np.asarray(res_o.hit)
+    assert (np.asarray(res_m.hit) == hit_o).mean() > 0.999
+    both = np.asarray(res_m.hit) & hit_o
+    np.testing.assert_allclose(
+        np.asarray(res_m.t)[both], np.asarray(res_o.t)[both], rtol=1e-3
+    )
+
+
+def test_candidate_blocks_exactness(rng):
+    """Candidate lists contain every block any tile ray can hit (no false
+    negatives; the kernel depends on this for correctness)."""
+    verts, tris = _cluttered_room(rng)
+    asset = build_scene_asset(verts, tris)
+    blo = np.asarray(asset.block_lo)
+    bhi = np.asarray(asset.block_hi)
+    n = raycast_mxu.TILE
+    origins = np.tile(np.array([2, 1.5, 1.0], np.float32), (n, 1))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ids, counts, ovf = candidate_blocks(
+        origins, dirs, asset.block_lo, asset.block_hi, t_max=20.0, vmax=1024
+    )
+    got = set(np.asarray(ids)[: int(counts[0]), 0].tolist())
+    # reference slab test
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+    t1 = (blo[None] - origins[:, None]) * inv[:, None]
+    t2 = (bhi[None] - origins[:, None]) * inv[:, None]
+    entry = np.nanmax(np.minimum(t1, t2), axis=2)
+    exit_ = np.nanmin(np.maximum(t1, t2), axis=2)
+    hit = (exit_ >= np.maximum(entry, 0)) & (entry < 20.0)
+    want = set(np.nonzero(hit.any(axis=0))[0].tolist())
+    assert want <= got, want - got
+
+
+def test_patch_permutation_is_permutation():
+    from ipcgen_tpu.sim.scan import patch_permutation
+
+    for h, w in [(32, 4000), (8, 2000), (4, 64), (5, 130)]:
+        perm = patch_permutation(h, w)
+        assert sorted(perm.tolist()) == list(range(h * w))
+        inv = np.argsort(perm)
+        x = np.arange(h * w)
+        np.testing.assert_array_equal(x[perm][inv], x)
+
+
+def test_trif_padding_never_wins(rng):
+    """Blocks padded with degenerate triangles produce NaN t and never win."""
+    verts = np.array([[0, 0, 2], [4, 0, 2], [0, 4, 2]], dtype=np.float32)
+    tris = np.array([[0, 1, 2]], dtype=np.int32)  # 1 tri -> 7 padded slots
+    asset = build_scene_asset(verts, tris, block_size=8, super_factor=2)
+    trif = np.asarray(raycast_mxu.build_trif(asset.tri_data))
+    f = np.asarray(
+        raycast_mxu.ray_features(
+            np.array([[1, 1, 0]], np.float32), np.array([[0, 0, 1]], np.float32)
+        )
+    )
+    g = f @ (trif[0, :16] + trif[0, 16:32])  # hi + lo split recombined
+    tb = asset.block_size
+    tden = g[0, 4 * tb :]
+    # padded lanes have zero normal -> zero denominator
+    assert np.all(tden[1:] == 0.0)

@@ -71,6 +71,31 @@ else:
 if not hp.any() or hp.all():
     failures.append(f"degenerate workload: hit_fraction={hp.mean()}")
 
+res_x = raycast_asset(origins, dirs, asset, backend="mxu", t_max=20.0)
+hx = to_host(res_x.hit)
+agree = (hx == ho).mean()
+if agree < 0.999:  # Pluecker edge ties only
+    failures.append(f"mxu hit agreement {agree}")
+else:
+    both = hx & ho
+    same = both & (np.asarray(res_x.tri_id) == np.asarray(res_o.tri_id))
+    # Physical contract: rays through crease edges may land on the adjacent
+    # surface (both answers valid within the beam footprint) — bound how
+    # often, and require world hit POINTS within a fraction of the sensor's
+    # 2 cm range-noise sigma everywhere.
+    if same.sum() / max(both.sum(), 1) < 0.99:
+        failures.append(
+            f"mxu same-triangle fraction {same.sum() / both.sum()}"
+        )
+    pe = np.linalg.norm(
+        np.asarray(res_x.points)[both] - np.asarray(res_o.points)[both],
+        axis=1,
+    )
+    if np.percentile(pe, 99.9) > 0.01 or pe.max() > 0.05:
+        failures.append(
+            f"mxu point err p999={np.percentile(pe, 99.9)} max={pe.max()}"
+        )
+
 if failures:
     print("PARITY_FAIL: " + "; ".join(failures))
     raise SystemExit(1)
