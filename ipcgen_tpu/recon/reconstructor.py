@@ -51,12 +51,17 @@ class SurfaceReconstructor:
         min_weight: float = 1e-3,
         chunked: bool = False,
         chunk_size: float = 60.0,
+        mise_iter: int = 0,
     ):
         self.voxel_size = voxel_size
         self.splat_radius = splat_radius
         self.min_weight = min_weight
         self.chunked = chunked
         self.chunk_size = chunk_size
+        # MISE-analog refinement steps (reference extract_dual_mesh
+        # mise_iter=2, s3dis_nksr_reconstructor.py:89-90): IMLS projection
+        # of extracted vertices onto the input cloud's implicit surface.
+        self.mise_iter = mise_iter
 
     # ------------------------------------------------------------------
     def reconstruct(
@@ -90,6 +95,13 @@ class SurfaceReconstructor:
             soup, _ = marching_tetrahedra(grid, min_weight=self.min_weight)
 
         verts, tris = weld_triangle_soup(soup)
+        if self.mise_iter > 0 and len(verts):
+            from ipcgen_tpu.ops.sdf import imls_project_vertices
+
+            verts = imls_project_vertices(
+                verts, points, normals,
+                radius=1.5 * self.voxel_size, iters=self.mise_iter,
+            )
         mesh = TriMesh(vertices=verts, triangles=tris)
         self._orient_faces(mesh, points, normals)
 
@@ -105,6 +117,7 @@ class SurfaceReconstructor:
             "device_used": self._device_name(),
             "voxel_size": self.voxel_size,
             "method": "sdf_fusion+marching_tetrahedra",
+            "mise_iter": self.mise_iter,
         }
         return mesh, stats
 
@@ -190,6 +203,7 @@ class S3DISReconstructor:
             voxel_size=voxel,
             chunked=bool(self.config.get("chunked", False)),
             chunk_size=float(self.config.get("chunk_size", 60.0)),
+            mise_iter=int(self.config.get("mise_iter", 2)),
         )
 
     def reconstruct_mesh(
@@ -308,7 +322,16 @@ class S3DISEvaluator:
             metrics["surface_area"] = mesh.surface_area()
             watertight = self._is_watertight(mesh)
             metrics["is_watertight"] = watertight
-            metrics["volume"] = abs(mesh.signed_volume()) if watertight else -1
+            # Open meshes (the weight mask ends at unobserved regions, as
+            # with NKSR) still get a meaningful volume: faces are oriented
+            # consistently (SurfaceReconstructor._orient_faces), so the
+            # divergence-theorem sum is a proxy whose error is the flux
+            # through the boundary holes.
+            volume = abs(mesh.signed_volume())
+            metrics["volume"] = volume
+            metrics["volume_method"] = (
+                "exact_watertight" if watertight else "divergence_proxy_open"
+            )
         return metrics
 
     @staticmethod
