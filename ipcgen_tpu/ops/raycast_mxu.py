@@ -80,7 +80,7 @@ _BIG = 3.0e38
 @jax.jit
 def build_trif(tri_data: jnp.ndarray,
                center: jnp.ndarray = None) -> jnp.ndarray:
-    """(NB, 16, TB) v0/e1/e2 panels -> (NB, 32, 5*TB) Pluecker features.
+    """(NB, 16, TB) v0/e1/e2 panels -> (NB, 48, 5*TB) Pluecker features.
 
     Column groups (each TB wide): [s0 | s1 | s2 | t_num | t_den] against the
     ray feature rows [dx dy dz  mx my mz  ox oy oz  1  0...].
@@ -331,6 +331,27 @@ def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
     return t.reshape(-1), slot.reshape(-1)
 
 
+def _ray_sort_order(origins, dirs, lo, hi):
+    """Coherence-restoring sort key: origin cell (Morton-interleaved 4-bit
+    axes) then quantized direction (octant + 4-bit azimuth/elevation).
+
+    Unstructured ray sets (e.g. random sampling) give the kernel's 1024-ray
+    tiles no angular coherence, so every tile's candidate list degenerates
+    toward all blocks.  Sorting groups near-parallel, near-colocated rays
+    into the same tile; the caller inverts the permutation afterwards.
+    """
+    span = jnp.maximum(hi - lo, 1e-6)
+    oc = jnp.clip(((origins - lo) / span * 16).astype(jnp.int32), 0, 15)
+    ocell = (oc[:, 0] * 16 + oc[:, 1]) * 16 + oc[:, 2]  # 12 bits, row-major
+    az = jnp.arctan2(dirs[:, 1], dirs[:, 0])
+    el = jnp.arcsin(jnp.clip(dirs[:, 2], -1.0, 1.0))
+    azb = jnp.clip(((az / jnp.pi + 1.0) * 16).astype(jnp.int32), 0, 31)
+    elb = jnp.clip(((el / (jnp.pi / 2) + 1.0) * 8).astype(jnp.int32), 0, 15)
+    dbin = azb * 16 + elb  # 9 bits
+    key = ocell * 512 + dbin
+    return jnp.argsort(key)
+
+
 def raycast_mxu_components(
     origins,
     dirs,
@@ -340,11 +361,14 @@ def raycast_mxu_components(
     *,
     t_max: float = np.inf,
     interpret: bool = False,
+    sort_rays: bool = False,
 ):
     """MXU raycast over raw asset components; returns (t, packed_slot).
 
     ``t`` is +inf on miss (matching the other backends' pre-finalize
     contract); slots are packed block*TB + lane indices into tri_data.
+    ``sort_rays`` groups incoherent ray sets into coherent tiles (see
+    _ray_sort_order); results come back in the caller's order.
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
@@ -352,6 +376,14 @@ def raycast_mxu_components(
     nb = tri_data.shape[0]
     tb = tri_data.shape[2]
     t_init = float(t_max) if np.isfinite(t_max) else 1.0e30
+
+    order = None
+    if sort_rays:
+        lo = jnp.nanmin(block_lo, axis=0)
+        hi = jnp.nanmax(block_hi, axis=0)
+        order = _ray_sort_order(origins, dirs, lo, hi)
+        origins = origins[order]
+        dirs = dirs[order]
 
     pad = (-n) % TILE
     if pad:
@@ -386,19 +418,23 @@ def raycast_mxu_components(
     slot = jnp.concatenate(slots) if len(slots) > 1 else slots[0]
     t = t[:n]
     slot = slot[:n]
+    if order is not None:
+        # restore the caller's ray order: sorted slot i came from order[i]
+        t = jnp.zeros_like(t).at[order].set(t)
+        slot = jnp.zeros_like(slot).at[order].set(slot)
     miss = slot < 0
     return jnp.where(miss, jnp.inf, t), slot
 
 
 def raycast_asset_mxu(
     origins, dirs, asset: SceneAsset, t_max: float = np.inf,
-    interpret: bool = False,
+    interpret: bool = False, sort_rays: bool = False,
 ) -> RaycastResult:
     """Intersect rays with the resident scene via the MXU pairs kernel."""
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     t, slot = raycast_mxu_components(
         origins, dirs, asset.tri_data, asset.block_lo, asset.block_hi,
-        t_max=t_max, interpret=interpret,
+        t_max=t_max, interpret=interpret, sort_rays=sort_rays,
     )
     return finalize_result(origins, dirs, t, slot, asset)

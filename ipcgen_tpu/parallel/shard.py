@@ -76,9 +76,16 @@ def _local_raycast(
     *, block_size: int, super_factor: int, t_max: float,
     backend: str, interpret: bool,
 ):
-    """Per-shard raycast core: the Pallas kernel on TPU (or in interpret mode
-    for CPU-mesh tests), the AABB-culled XLA traversal otherwise.  Both share
-    the component-level (t, packed_slot) contract."""
+    """Per-shard raycast core: the MXU pairs kernel on TPU (or in interpret
+    mode for CPU-mesh tests), the VPU Pallas kernel for bit-exactness, the
+    AABB-culled XLA traversal otherwise.  All share the component-level
+    (t, packed_slot) contract."""
+    if backend == "mxu":
+        from ipcgen_tpu.ops.raycast_mxu import raycast_mxu_components
+
+        return raycast_mxu_components(
+            o, d, tri_data, blo, bhi, t_max=t_max, interpret=interpret,
+        )
     if backend == "pallas":
         from ipcgen_tpu.ops.raycast_pallas import raycast_pallas_components
 
@@ -95,7 +102,7 @@ def _local_raycast(
 
 def _resolve_backend(backend: str) -> str:
     if backend == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return "mxu" if jax.default_backend() == "tpu" else "xla"
     return backend
 
 

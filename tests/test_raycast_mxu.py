@@ -156,3 +156,24 @@ def test_trif_padding_never_wins(rng):
     tden = g[0, 4 * tb :]
     # padded lanes have zero normal -> zero denominator
     assert np.all(tden[1:] == 0.0)
+
+
+def test_sort_rays_matches_unsorted(rng):
+    """sort_rays groups incoherent rays into coherent tiles; results come
+    back in the caller's order and match the unsorted path."""
+    verts, tris = _cluttered_room(rng)
+    asset = build_scene_asset(verts, tris)
+    n = 2048
+    origins = rng.uniform([0.5, 0.5, 0.3], [3.4, 2.4, 2.0], (n, 3)).astype(
+        np.float32
+    )
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    res_u = raycast_asset_mxu(origins, dirs, asset, t_max=20.0, interpret=True)
+    res_s = raycast_asset_mxu(origins, dirs, asset, t_max=20.0, interpret=True,
+                              sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(res_u.hit), np.asarray(res_s.hit))
+    np.testing.assert_allclose(
+        np.asarray(res_u.t)[np.asarray(res_u.hit)],
+        np.asarray(res_s.t)[np.asarray(res_u.hit)], rtol=1e-5,
+    )

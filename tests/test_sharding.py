@@ -197,3 +197,24 @@ def test_sharded_scan_pallas_interpret_matches_fused(asset):
     np.testing.assert_allclose(
         np.asarray(b_sh.t), np.asarray(b_fused.t), rtol=1e-5
     )
+
+
+def test_ray_sharded_mxu_interpret_matches_oracle(asset):
+    """The MXU pairs kernel runs per shard inside shard_map (interpret mode
+    on the CPU mesh) and matches the brute oracle within its accuracy
+    contract (t rtol 1e-3, identical hit masks)."""
+    origins, dirs = _rays(300)
+    mesh = make_device_mesh(4, ("rays",))
+    res_sharded = sharded_raycast_rays(
+        origins, dirs, asset, mesh, backend="mxu", interpret=True,
+        t_max=50.0,
+    )
+    res_single = raycast_asset_xla(origins, dirs, asset)
+    np.testing.assert_array_equal(
+        np.asarray(res_sharded.hit), np.asarray(res_single.hit)
+    )
+    both = np.asarray(res_sharded.hit)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.t)[both], np.asarray(res_single.t)[both],
+        rtol=1e-3,
+    )
