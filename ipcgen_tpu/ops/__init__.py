@@ -3,8 +3,9 @@
 Heavy modules import lazily at call sites; the most used entry points are
 re-exported here.  Full inventory:
 
-- ``raycast`` / ``raycast_pallas`` : ray/mesh intersection (XLA oracle +
-  Pallas TPU kernel over the 2-level SceneAsset)
+- ``raycast`` / ``raycast_pallas`` / ``raycast_mxu`` : ray/mesh
+  intersection (XLA oracle + VPU Pallas kernel + the MXU pairs kernel that
+  is the TPU default — Pluecker features as matmuls)
 - ``scene_asset``                  : Morton-blocked HBM-resident scene build
 - ``geometry``                     : Möller–Trumbore + slab-test math
 - ``knn`` / ``grid_nn``            : tiled exact k-NN / grid-hashed 1-NN
