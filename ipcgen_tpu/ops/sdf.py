@@ -172,15 +172,31 @@ def imls_project_vertices(
     ``-s`` along the averaged normal.  Steps are clamped to ``radius`` so
     vertices in sparsely observed regions cannot fly off.
     """
-    from ipcgen_tpu.ops.knn import knn
-
     v = np.array(verts, np.float32, copy=True)
     points = np.asarray(points, np.float32)
     normals = np.asarray(normals, np.float32)
     if len(v) == 0 or len(points) == 0 or iters <= 0:
         return v
+
+    if len(points) > 150_000:
+        # Same threshold as preprocessing: the grid-hashed k-NN finds the
+        # within-radius neighbours this projection needs at a fraction of
+        # the exact join's cost (vertex counts reach ~1.4 M per room).
+        from ipcgen_tpu.ops.grid_nn import knn_grid
+
+        def _knn(q, r, k):
+            return knn_grid(q, r, k, cell_size=2.0 * radius)
+    else:
+        from ipcgen_tpu.ops.knn import knn as _knn
+
     for _ in range(int(iters)):
-        idx, dist = knn(v, points, k)
+        idx, dist = _knn(v, points, k)
+        unresolved = ~np.isfinite(dist[:, 0])
+        if unresolved.any():  # sparse neighbourhoods: leave those in place
+            idx = idx.copy()
+            dist = dist.copy()
+            idx[unresolved] = 0
+            dist[unresolved] = 1e6  # zero weight below
         p = points[idx]  # (N, k, 3)
         nn = normals[idx]
         w = np.exp(-((dist / max(radius, 1e-6)) ** 2)).astype(np.float32)

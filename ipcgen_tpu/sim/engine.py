@@ -102,7 +102,7 @@ class RaycastEngineCPU(RaycastEngineBase):
 
 
 class RaycastEngineTPU(RaycastEngineBase):
-    """Pallas TPU kernel engine; falls back to XLA off-TPU.
+    """MXU pairs-kernel engine; falls back to XLA off-TPU.
 
     Mirrors the reference's GPU->CPU graceful degradation
     (s3dis_simulator.py:67-74) — but here the fast path actually exists.
@@ -116,9 +116,9 @@ class RaycastEngineTPU(RaycastEngineBase):
         if jax.default_backend() == "cpu" and not self.interpret:
             res = raycast_asset_xla(origins, dirs, asset)
         else:
-            from ipcgen_tpu.ops.raycast_pallas import raycast_asset_pallas
+            from ipcgen_tpu.ops.raycast_mxu import raycast_asset_mxu
 
-            res = raycast_asset_pallas(origins, dirs, asset, interpret=self.interpret)
+            res = raycast_asset_mxu(origins, dirs, asset, interpret=self.interpret)
         from ipcgen_tpu.utils.host import to_host
 
         return np.asarray(res.t), to_host(res.hit), np.asarray(res.points)

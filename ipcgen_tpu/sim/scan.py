@@ -253,6 +253,11 @@ def scan_waypoints(
             else intrinsics.vertical_res
         )
         perm = patch_permutation(h, r // h)
+    elif backend == "mxu" and isinstance(intrinsics, DualAxisLidarIntrinsics):
+        # The dual-axis spiral is also line-major (beams.gen_dual_axis_dirs);
+        # the same patch reorder keeps kernel tiles angularly tight.
+        h = int(intrinsics.num_vertical_lines)
+        perm = patch_permutation(h, r // h)
     else:
         perm = np.arange(r, dtype=np.int32)  # identity
     inv_perm = np.argsort(perm).astype(np.int32)
