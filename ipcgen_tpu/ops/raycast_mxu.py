@@ -375,6 +375,11 @@ def raycast_mxu_components(
     n = origins.shape[0]
     nb = tri_data.shape[0]
     tb = tri_data.shape[2]
+    if tb > 128:
+        raise ValueError(
+            f"mxu backend packs the winning lane into 7 key bits; "
+            f"block_size must be <= 128, got {tb}"
+        )
     t_init = float(t_max) if np.isfinite(t_max) else 1.0e30
 
     order = None

@@ -54,6 +54,19 @@ class ScanBatch(NamedTuple):
             np.asarray(self.incident_angles[w])[m],
         )
 
+    def points_and_mask(self):
+        """Minimal host export: (points (W,R,3), mask (W,R)) in one pull.
+
+        Incident angles and sensor ranges are exact functions of
+        (point - origin) for unit rays, so callers that know the origins
+        (sim/simulator.py collect_scan) skip ~40% of the device->host
+        transfer by deriving them host-side — the reference's own angle
+        formula works from the points too (raycast_engine_cpu.py:99-109).
+        """
+        from ipcgen_tpu.utils.host import to_host
+
+        return np.asarray(self.points), to_host(self.mask)
+
     def to_numpy(self, with_ranges: bool = False):
         """One bulk device->host transfer of (points, angles, mask[, t]).
 

@@ -235,14 +235,23 @@ class S3DISSimulator:
         )
         total_points_per_scan = self.lidar_config.get_total_points_per_scan()
         room_volume = self.scene.room_bounds.get_volume()
-        jax.block_until_ready(batch.t)
-        all_points, all_angles, all_mask, all_t = batch.to_numpy(with_ranges=True)
+        # Download only points + mask (~60% of the full batch): incident
+        # angles and sensor ranges are exact functions of (point - origin)
+        # — the reference itself derives the angle from the points
+        # (raycast_engine_cpu.py:99-109), and t = |p - o| for unit rays.
+        # Over the remote tunnel this saves several seconds per room.
+        all_points, all_mask = batch.points_and_mask()
+        origins = np.stack([w.to_pose_matrix()[:3, 3] for w in waypoints])
 
         for i in range(len(waypoints)):
             m = all_mask[i]
             points = all_points[i][m]
-            incident_angles = all_angles[i][m]
-            sensor_ranges = all_t[i][m]
+            rel = points - origins[i][None, :]
+            sensor_ranges = np.linalg.norm(rel, axis=1)
+            safe = np.maximum(sensor_ranges, 1e-12)
+            incident_angles = np.degrees(
+                np.arccos(np.clip(np.abs(rel[:, 2]) / safe, 0.0, 1.0))
+            )
             # Per-frame quality metrics (reference: :276-284; note the range
             # stats are norms of the world positions — preserved verbatim;
             # the true sensor ranges from the t array are dual-reported).
