@@ -26,11 +26,13 @@ class ScanQuality:
     scan_density: float
     range_mean: float
     range_std: float
-    # True sensor-range stats from the hit distances ``t``.  The reference's
+    # True sensor-range stats from the hit distances.  The reference's
     # range_mean/std are norms of WORLD coordinates (a preserved reference
-    # quirk, s3dis_simulator.py:276-284); these optional fields dual-report
-    # the physically meaningful quantity, mirroring the incident-angle /
-    # true-incidence pattern.  None keeps byte-parity of exported dicts.
+    # quirk, s3dis_simulator.py:276-284); these fields dual-report the
+    # physically meaningful quantity, mirroring the incident-angle /
+    # true-incidence pattern.  The simulator always populates them, so
+    # exported dicts carry the extra keys unless a caller explicitly sets
+    # them to None (e.g. when regenerating reference-shaped fixtures).
     sensor_range_mean: Optional[float] = None
     sensor_range_std: Optional[float] = None
 

@@ -70,11 +70,21 @@ class DualAxisLidar:
         # constructions with the same key produce identical rays.
         if self.rng_key is None:
             self.rng_key = jax.random.PRNGKey(0)
+        self._draws = 0
 
     def _np_rng(self, salt: int = 0) -> np.random.Generator:
-        """Deterministic numpy Generator derived from the jax key."""
+        """Deterministic numpy Generator derived from the jax key.
+
+        A per-instance draw counter enters the seed so successive calls get
+        fresh, independent noise (frames must not share dropout holes or
+        angular bias) while two identically-seeded instances still replay
+        the same sequence.
+        """
         bits = np.asarray(jax.random.key_data(self.rng_key)).ravel()
-        return np.random.default_rng(np.concatenate([bits, [salt]]).astype(np.uint32))
+        self._draws += 1
+        return np.random.default_rng(
+            np.concatenate([bits, [salt, self._draws]]).astype(np.uint32)
+        )
 
     # ------------------------------------------------------------------
     def beam_directions(

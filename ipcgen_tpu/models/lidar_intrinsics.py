@@ -18,6 +18,17 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+_DEFAULT_SEED_SEQ = np.random.SeedSequence(0)
+
+
+def _fresh_default_rng() -> np.random.Generator:
+    """Deterministic per-process default RNG: every call gets an
+    independent stream (per-frame noise must not repeat), while a fresh
+    process replays the same overall sequence (explicit-PRNG stance,
+    SURVEY.md §7 — no global numpy state)."""
+    return np.random.default_rng(_DEFAULT_SEED_SEQ.spawn(1)[0])
+
+
 @dataclass
 class LidarIntrinsics:
     """Base sensor parameters (reference: lidar_intrinsics.py:12-25)."""
@@ -96,9 +107,9 @@ class DualAxisLidarIntrinsics(LidarIntrinsics):
         swing = self.swing_amplitude * np.sin(self.swing_frequency * t + phase_offset)
         theta = np.clip(base_theta + swing, self.theta_range[0], self.theta_range[1])
         if self.angle_noise_std > 0:
-            # Deterministic default (explicit-PRNG stance, SURVEY.md §7);
-            # pass a Generator for varied noise.
-            rng = rng or np.random.default_rng(0)
+            # Deterministic default with fresh draws per call; pass a
+            # Generator to control the stream.
+            rng = rng or _fresh_default_rng()
             phi += rng.normal(0, self.angle_noise_std)
             theta += rng.normal(0, self.angle_noise_std)
         return phi, theta
@@ -293,7 +304,7 @@ class Indoor8LineLidarIntrinsics(LidarIntrinsics):
 
     def add_noise(self, points, ranges, angles, intensities, rng=None):
         """Gaussian range/angle/intensity noise + dropout (reference: :364-389)."""
-        rng = rng or np.random.default_rng(0)
+        rng = rng or _fresh_default_rng()
         noisy_ranges = ranges + rng.normal(0, self.range_noise_std, ranges.shape)
         noisy_angles = angles + rng.normal(
             0, np.deg2rad(self.angle_noise_std), angles.shape

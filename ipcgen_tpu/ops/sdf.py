@@ -185,7 +185,10 @@ def imls_project_vertices(
         from ipcgen_tpu.ops.grid_nn import knn_grid
 
         def _knn(q, r, k):
-            return knn_grid(q, r, k, cell_size=2.0 * radius)
+            # Let _choose_cell_size adapt (bounds p99 bucket occupancy by
+            # cap) instead of forcing radius-derived cells: dense clouds
+            # would otherwise truncate buckets and return biased neighbours.
+            return knn_grid(q, r, k)
     else:
         from ipcgen_tpu.ops.knn import knn as _knn
 

@@ -274,13 +274,14 @@ def sharded_raycast_tris(
 def _sharded_scan_core(
     mesh: Mesh, ray_axis: str, max_range: float,
     backend: str = "auto", interpret: bool = False,
+    range_noise_std: float = 0.0,
 ):
     """Build (and cache) the fully-jitted sharded scan program for a mesh."""
     from ipcgen_tpu.models import beams
     from ipcgen_tpu.sim.scan import ScanBatch
 
     @jax.jit
-    def core(asset, poses, dirs_sensor, keep):
+    def core(asset, poses, dirs_sensor, keep, noise_key):
         dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)
         origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
         w, r, _ = dirs_world.shape
@@ -293,6 +294,12 @@ def _sharded_scan_core(
         hit = res.hit.reshape(w, r)
         points = res.points.reshape(w, r, 3)
         normals = res.normals.reshape(w, r, 3)
+        if range_noise_std > 0.0:
+            # Same semantics as the single-chip scan (sim/scan.py): sigma
+            # perturbs the measured distance before point reconstruction.
+            sigma = jax.random.normal(noise_key, t.shape) * range_noise_std
+            t = jnp.where(hit, t + sigma, t)
+            points = origins + dirs_world * t[..., None]
         mask = hit & keep & (t < max_range)
         incident = jnp.degrees(
             jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0))
@@ -388,6 +395,7 @@ def scan_waypoints_sharded(
     ray_axis: str = "rays",
     backend: str = "auto",
     interpret: bool = False,
+    apply_range_noise: bool = False,
 ):
     """Fused multi-waypoint scan with rays sharded across the device mesh.
 
@@ -399,12 +407,24 @@ def scan_waypoints_sharded(
 
     poses = jnp.asarray(poses, jnp.float32)
     n_waypoints = poses.shape[0]
-    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, key)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sigma = (
+        float(getattr(intrinsics, "range_noise_std", 0.0))
+        if apply_range_noise
+        else 0.0
+    )
+    if sigma > 0.0:
+        beam_key, noise_key = jax.random.split(key)
+    else:
+        beam_key = noise_key = key
+    dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, beam_key)
     core = _sharded_scan_core(
         mesh, ray_axis, float(intrinsics.max_range),
         backend=_resolve_backend(backend), interpret=bool(interpret),
+        range_noise_std=sigma,
     )
-    return core(asset, poses, dirs_sensor, keep)
+    return core(asset, poses, dirs_sensor, keep, noise_key)
 
 
 def sharded_grid_nn(

@@ -113,12 +113,16 @@ class RaycastEngineTPU(RaycastEngineBase):
         self.interpret = interpret
 
     def _raycast(self, origins, dirs, asset):
-        if jax.default_backend() == "cpu" and not self.interpret:
-            res = raycast_asset_xla(origins, dirs, asset)
-        else:
+        if self.interpret:
             from ipcgen_tpu.ops.raycast_mxu import raycast_asset_mxu
 
-            res = raycast_asset_mxu(origins, dirs, asset, interpret=self.interpret)
+            res = raycast_asset_mxu(origins, dirs, asset, interpret=True)
+        else:
+            # "auto" resolves to the MXU kernel on TPU and the portable
+            # culled-XLA path on every other platform (cpu, gpu, ...).
+            from ipcgen_tpu.ops.raycast import raycast_asset
+
+            res = raycast_asset(origins, dirs, asset, backend="auto")
         from ipcgen_tpu.utils.host import to_host
 
         return np.asarray(res.t), to_host(res.hit), np.asarray(res.points)

@@ -132,6 +132,7 @@ def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
     raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
 
 
+@functools.lru_cache(maxsize=32)
 def patch_permutation(h: int, w: int, lines_pp: int = 8,
                       az_pp: int = 128) -> np.ndarray:
     """Ray order whose 1024-ray kernel tiles are angular PATCHES.
@@ -145,9 +146,27 @@ def patch_permutation(h: int, w: int, lines_pp: int = 8,
     """
     line = np.repeat(np.arange(h), w)
     az = np.tile(np.arange(w), h)
-    return np.lexsort(
+    perm = np.lexsort(
         (az % az_pp, line % lines_pp, az // az_pp, line // lines_pp)
     ).astype(np.int32)
+    perm.setflags(write=False)  # lru_cache shares the array
+    return perm
+
+
+@functools.lru_cache(maxsize=32)
+def _identity_perm(r: int) -> np.ndarray:
+    p = np.arange(r, dtype=np.int32)
+    p.setflags(write=False)
+    return p
+
+
+@functools.lru_cache(maxsize=32)
+def _inverse_perm(perm_bytes: bytes, r: int) -> np.ndarray:
+    inv = np.argsort(
+        np.frombuffer(perm_bytes, dtype=np.int32)
+    ).astype(np.int32)
+    inv.setflags(write=False)
+    return inv
 
 
 @functools.partial(
@@ -272,8 +291,8 @@ def scan_waypoints(
         h = int(intrinsics.num_vertical_lines)
         perm = patch_permutation(h, r // h)
     else:
-        perm = np.arange(r, dtype=np.int32)  # identity
-    inv_perm = np.argsort(perm).astype(np.int32)
+        perm = _identity_perm(r)
+    inv_perm = _inverse_perm(perm.tobytes(), r)
     return _scan_core(
         asset,
         poses,

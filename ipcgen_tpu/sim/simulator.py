@@ -206,6 +206,12 @@ class S3DISSimulator:
             return scan_waypoints_sharded(
                 self.scene_asset, self.lidar_config, poses, device_mesh,
                 key=scan_key,
+                backend=self.config.get("raycast_engine", {}).get(
+                    "backend", "auto"
+                ),
+                apply_range_noise=bool(
+                    self.config.get("apply_range_noise", False)
+                ),
             )
         if device is not None:
             self.scene_asset = jax.device_put(self.scene_asset, device)

@@ -19,15 +19,26 @@ _TRIED = False
 
 
 def _build_lib(src: Path, so: Path) -> bool:
-    """Compile the native library from source (quiet best-effort)."""
+    """Compile the native library from source (quiet best-effort).
+
+    Writes to a per-process temp name and atomically renames so concurrent
+    processes (pytest workers, parallel batch drivers) never dlopen a
+    half-written .so; rename also makes the last writer win cleanly.
+    """
+    tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-std=c++17", "-o", str(so), str(src)],
+             "-std=c++17", "-o", str(tmp), str(src)],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so)
         return so.is_file()
     except (OSError, subprocess.SubprocessError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

@@ -248,6 +248,15 @@ def test_compat_lidar_rng_deterministic():
     )
     ts = intr.generate_time_sequence(0.001)
     np.testing.assert_array_equal(a.get_rays_sequence(ts), b.get_rays_sequence(ts))
+    # Successive calls on ONE instance draw FRESH noise (frames must not
+    # share dropout holes or angular bias — code-review r2 finding): the
+    # deterministic sequence advances per call.
+    r1 = a.get_rays_sequence(ts)
+    r2 = a.get_rays_sequence(ts)
+    assert not np.array_equal(r1, r2)
+    # ...and the whole call SEQUENCE replays identically across instances.
+    np.testing.assert_array_equal(r1, b.get_rays_sequence(ts))
+    np.testing.assert_array_equal(r2, b.get_rays_sequence(ts))
     # Default construction is deterministic too.
     c = create_lidar(intr, pose)
     d = create_lidar(intr, pose)
