@@ -177,3 +177,53 @@ def test_sort_rays_matches_unsorted(rng):
         np.asarray(res_u.t)[np.asarray(res_u.hit)],
         np.asarray(res_s.t)[np.asarray(res_u.hit)], rtol=1e-5,
     )
+
+
+def test_scan_waypoints_mxu_matches_xla(rng, monkeypatch):
+    """The fused scan with the MXU backend (patch permutation + kernel +
+    inverse permutation) matches the XLA path ray-for-ray."""
+    import jax
+
+    from ipcgen_tpu.models import (
+        DualAxisLidarIntrinsics,
+        Indoor8LineLidarIntrinsics,
+    )
+    from ipcgen_tpu.sim import scan as scan_mod
+    from ipcgen_tpu.sim.scan import scan_waypoints
+    from ipcgen_tpu.trajectory import Waypoint
+    from ipcgen_tpu.trajectory.waypoint import waypoints_to_pose_batch
+
+    verts, tris = _cluttered_room(rng)
+    asset = build_scene_asset(verts, tris)
+    poses = waypoints_to_pose_batch(
+        [Waypoint(1.2, 1.0, 1.0, 0.3), Waypoint(2.8, 2.0, 1.0, 2.1)]
+    )
+    # Force the mxu backend to run in interpret mode on CPU.
+    orig = scan_mod.raycast_asset
+
+    def patched(o, d, a, backend="auto", t_max=np.inf):
+        if backend == "mxu":
+            return raycast_asset_mxu(o, d, a, t_max=t_max, interpret=True)
+        return orig(o, d, a, backend=backend, t_max=t_max)
+
+    monkeypatch.setattr(scan_mod, "raycast_asset", patched)
+
+    for intr in (
+        Indoor8LineLidarIntrinsics(
+            vertical_res=8, horizontal_res=256,
+            vertical_degrees=[15, 10, 5, 0, -5, -10, -15, -20],
+            max_range=20.0,
+        ),
+        DualAxisLidarIntrinsics.create_blk2go_dual_axis(),
+    ):
+        key = jax.random.PRNGKey(3)
+        b_x = scan_waypoints(asset, intr, poses, key=key, backend="xla")
+        b_m = scan_waypoints(asset, intr, poses, key=key, backend="mxu")
+        assert b_m.points.shape == b_x.points.shape
+        mx, mm = np.asarray(b_x.mask), np.asarray(b_m.mask)
+        # identical masks up to rare crease ties
+        assert (mx == mm).mean() > 0.999
+        both = mx & mm
+        np.testing.assert_allclose(
+            np.asarray(b_m.t)[both], np.asarray(b_x.t)[both], rtol=1e-3
+        )
