@@ -66,7 +66,7 @@ def main():
     ap.add_argument("--rows", type=int, default=8)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--super-factor", type=int, default=8)
-    ap.add_argument("--backend", choices=["pallas", "xla", "both"], default="pallas")
+    ap.add_argument("--backend", choices=["mxu", "pallas", "xla", "all"], default="mxu")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -116,12 +116,16 @@ def main():
         )
         return res
 
-    if args.backend in ("pallas", "both"):
+    if args.backend in ("mxu", "all"):
+        from ipcgen_tpu.ops.raycast_mxu import raycast_asset_mxu
+
+        bench("mxu", lambda: raycast_asset_mxu(origins, dirs, asset, t_max=25.0))
+    if args.backend in ("pallas", "all"):
         bench(
             "pallas",
             lambda: raycast_asset_pallas(origins, dirs, asset, t_max=25.0, rows=args.rows),
         )
-    if args.backend in ("xla", "both"):
+    if args.backend in ("xla", "all"):
         bench("xla", lambda: raycast_asset_xla(origins, dirs, asset))
 
 
