@@ -335,6 +335,13 @@ def main():
                 result["rays_per_sec"] / EMBREE_SOCKET_BOUND_RPS, 2
             ),
             "workloads": extras,
+            "note": (
+                "BENCH_r01's 1.3e9 rays/s is retracted: "
+                "jax.block_until_ready is not a completion barrier on the "
+                "remote-attached device link, so r01 timed dispatch, not "
+                "execution. All r02+ numbers use a forced host-read "
+                "barrier (utils/host.py sync; docs/BENCHMARKS.md)."
+            ),
         },
     }
     print(json.dumps(out))
