@@ -227,3 +227,45 @@ def test_scan_waypoints_mxu_matches_xla(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b_m.t)[both], np.asarray(b_x.t)[both], rtol=1e-3
         )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzz_degenerate_geometry_vs_oracle(seed):
+    """Fuzz: sliver/degenerate/duplicate triangles + grazing rays must never
+    crash and must match the oracle's hit decisions within the contract."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-2, 2, (60, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.5, (60, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.5, (60, 3)).astype(np.float32)
+    # inject degenerates: zero-area, slivers, duplicates
+    e1[0] = 0  # zero edge
+    e2[1] = e1[1]  # collinear -> zero normal
+    e1[2] *= 1e-6  # sliver
+    base[3], e1[3], e2[3] = base[4], e1[4], e2[4]  # duplicate of tri 4
+    verts = np.concatenate([base, base + e1, base + e2]).astype(np.float32)
+    tris = (
+        np.arange(180, dtype=np.int32).reshape(3, 60).T
+    )
+    asset = build_scene_asset(verts, tris, block_size=8, super_factor=2)
+    n = 512
+    origins = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # some rays exactly along triangle planes (grazing)
+    nrm = np.cross(e1[5], e2[5])
+    graze = np.cross(nrm, rng.normal(size=3)).astype(np.float32)
+    dirs[:8] = graze / np.linalg.norm(graze)
+    origins[:8] = base[5] + e1[5] * 0.3
+
+    res_o = raycast_asset_xla(origins, dirs, asset)
+    res_m = raycast_asset_mxu(origins, dirs, asset, t_max=50.0, interpret=True)
+    ho = np.asarray(res_o.hit) & (np.asarray(res_o.t) < 50.0)
+    hm = np.asarray(res_m.hit)
+    # Grazing/degenerate cases may tie either way; bound the disagreement.
+    assert (ho == hm).mean() > 0.98, (ho != hm).sum()
+    both = ho & hm & (np.asarray(res_m.tri_id) == np.asarray(res_o.tri_id))
+    if both.any():
+        np.testing.assert_allclose(
+            np.asarray(res_m.t)[both], np.asarray(res_o.t)[both], rtol=1e-3
+        )
+    assert np.all(np.isfinite(np.asarray(res_m.points)[hm]))
