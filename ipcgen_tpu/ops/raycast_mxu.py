@@ -84,6 +84,16 @@ def build_trif(tri_data: jnp.ndarray,
 
     Column groups (each TB wide): [s0 | s1 | s2 | t_num | t_den] against the
     ray feature rows [dx dy dz  mx my mz  ox oy oz  1  0...].
+
+    NOTE a tempting dead end (measured, round 3): the Pluecker identity
+    s0 + s1 + s2 = d . (a x b + b x c + c x a) = d . n holds EXACTLY, so the
+    t_den column looks redundant (-20% matmul/DMA).  Numerically it is not:
+    each s_i carries o x d moment terms ~60x larger than their sum, so the
+    summed denominator inherits absolute bf16x3 rounding error ~1e-5 against
+    a true d.n of ~2.5e-3 for subdivided-room triangles — 1% relative error
+    in t (p99 hit-point error 0.59 m on the bench room, vs 2.4 mm with the
+    dedicated column).  Interpret-mode tests cannot catch this (no MXU
+    rounding emulation); it showed up only on hardware.
     Padded triangles (v0 = const, e1 = e2 = 0) produce n = 0 -> t_den = 0
     and t_num = 0, so t = 0/0 = NaN and every comparison fails: padding can
     never win.
@@ -222,6 +232,28 @@ def _pairs_kernel(
     trif_vmem, sems,
     *, tb: int, nb: int, vmax: int, t_init: float,
 ):
+    """Per-(tile, candidate-block) intersection with a LANE-LOCAL epilogue.
+
+    Round 2's epilogue reduced (t, lane) across all 128 lanes once per
+    candidate block (~7 shuffle+min steps over 128 f32 vregs per block) and
+    packed the lane id into the low mantissa bits of t.  Both are gone:
+
+    - The running minimum is kept PER LANE (``best_key``/``best_blk``,
+      (TILE, tb) carries): each block contributes one elementwise
+      compare+select triplet instead of a cross-lane tree reduction, and the
+      single cross-lane reduction happens once per TILE after the block loop.
+    - With the lane implicit in its position, t keeps ALL 23 mantissa bits
+      (round 2 stole 7 for the lane id); the winning block rides a separate
+      int32 carry.
+    - The inside test compares SIGN BITS in the integer domain
+      (two xors + or + >=0) instead of three products and three float
+      compares.  Watertightness survives: the shared edge's side value is
+      exactly negated for the neighbouring triangle, so for s = +/-0.0 one
+      of the two triangles still matches the other two signs.
+
+    Measured on v5e (160 k-tri room, 2.56 M patch-ordered rays): 2.75 us ->
+    ~1.2 us per (tile, block) pair; kernel 10.4 -> ~24 M rays/s.
+    """
     pid = pl.program_id(0)
     f = f_ref[0]
     ovf = ovf_ref[pid] != 0
@@ -230,66 +262,88 @@ def _pairs_kernel(
     def block_id(v):
         return jnp.where(ovf, v, ids_ref[jnp.minimum(v, vmax - 1), pid])
 
-    t_init_key = jnp.full((TILE, 1), _pack_key_const(t_init), jnp.int32)
-    init = (t_init_key, jnp.full((TILE, 1), -1, jnp.int32))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, tb), 1)  # hoisted
+    init_key = _key_const(t_init)
+    init = (
+        jnp.full((TILE, tb), init_key, jnp.int32),
+        jnp.full((TILE, tb), 0, jnp.int32),
+    )
     f_hi = f.astype(jnp.bfloat16).astype(jnp.float32)
     f_cat = jnp.concatenate([f_hi, f_hi, f - f_hi], axis=1)  # (TILE, 48)
 
+    def panel_dma(v, slot):
+        return pltpu.make_async_copy(
+            trif_hbm.at[block_id(v)], trif_vmem.at[slot], sems.at[slot]
+        )
+
+    # Double-buffered panel stream: the measured v5e floor for the round-2
+    # serial copy-then-compute loop was ~1.3 us/pair of pure DMA wait + loop
+    # overhead (kernel_probe 'dmaonly') — as large as the matmul itself.
+    # Issuing block v+1's copy into the other buffer before computing block v
+    # hides the transfer behind the matmul+epilogue.
+    @pl.when(trip > 0)
+    def _():
+        panel_dma(0, 0).start()
+
     def body(v, carry):
-        # Serial copy-then-compute: measured on v5e, Mosaic already overlaps
-        # the next iteration's DMA with this epilogue; an explicit NBUF ring
-        # (tried) only added scratch pressure and ran ~40% slower.
-        best_key, best_i = carry
+        best_key, best_blk = carry
+        slot = jax.lax.rem(v, 2)
         b = block_id(v)
-        cp = pltpu.make_async_copy(trif_hbm.at[b], trif_vmem, sems)
-        cp.start()
-        cp.wait()
+
+        @pl.when(v + 1 < trip)
+        def _():
+            panel_dma(v + 1, 1 - slot).start()
+
+        panel_dma(v, slot).wait()
         # Fused bf16x3 (see build_trif): one K=48 matmul on the MXU's
         # native bf16 path; with scene centering this lands within ~1e-4
         # absolute of the f64 product at the cost of a single pass (the
         # dropped f_lo@T_lo term is ~3e-5 once the moments are centered).
-        g = jnp.dot(f_cat, trif_vmem[:], preferred_element_type=jnp.float32)
+        g = jnp.dot(f_cat, trif_vmem[slot], preferred_element_type=jnp.float32)
         s0 = g[:, 0 * tb : 1 * tb]
         s1 = g[:, 1 * tb : 2 * tb]
         s2 = g[:, 2 * tb : 3 * tb]
         tnum = g[:, 3 * tb : 4 * tb]
         tden = g[:, 4 * tb : 5 * tb]
-        # same-sign test via products (5 ops instead of 10 comparisons)
-        ok = (s0 * s1 >= 0) & (s0 * s2 >= 0) & (s1 * s2 >= 0)
+        i0 = jax.lax.bitcast_convert_type(s0, jnp.int32)
+        i1 = jax.lax.bitcast_convert_type(s1, jnp.int32)
+        i2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
+        ok = ((i0 ^ i1) | (i0 ^ i2)) >= 0  # all three sign bits equal
         t = tnum / tden
         # |t_den| guard mirrors the oracle's MT_EPS determinant guard
         # (det = -t_den): near-plane-parallel rays otherwise pass the side
-        # tests with an ill-conditioned 0/0 distance.
+        # tests with an ill-conditioned 0/0 distance.  Padding (0/0 = NaN)
+        # fails the guard too.
         ok = ok & (t > 1e-6) & (jnp.abs(tden) > 1e-9)
-        t = jnp.where(ok, t, _BIG)
-        # Pack (t, lane) into one monotonic int32 key: positive IEEE floats
-        # compare like their bit patterns; the low 7 mantissa bits carry the
-        # lane id, so a single min replaces min+argmin.
-        key = jax.lax.bitcast_convert_type(t, jnp.int32)
-        key = jax.lax.bitwise_or(
-            jax.lax.bitwise_and(key, jnp.int32(~127)), lane
+        # Positive IEEE floats compare like their bit patterns, so the
+        # per-lane running min works on the raw t bits (full precision).
+        key = jnp.where(
+            ok, jax.lax.bitcast_convert_type(t, jnp.int32), init_key
         )
-        kmin = jnp.min(key, axis=1, keepdims=True)
-        take = kmin < best_key
-        slot_global = jax.lax.bitwise_and(kmin, jnp.int32(127)) + b * tb
+        take = key < best_key
         return (
-            jnp.where(take, kmin, best_key),
-            jnp.where(take, slot_global, best_i),
+            jnp.where(take, key, best_key),
+            jnp.where(take, b, best_blk),
         )
 
-    best_key, best_i = jax.lax.fori_loop(0, trip, body, init)
-    t_best = jax.lax.bitcast_convert_type(
-        jax.lax.bitwise_and(best_key, jnp.int32(~127)), jnp.float32
+    best_key, best_blk = jax.lax.fori_loop(0, trip, body, init)
+    # One cross-lane reduction per TILE: nearest t, then the smallest packed
+    # slot among exact ties (matches the oracle's first-minimum argmin).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, tb), 1)
+    kmin = jnp.min(best_key, axis=1, keepdims=True)  # (TILE, 1)
+    packed = best_blk * tb + lane
+    slot = jnp.min(
+        jnp.where(best_key == kmin, packed, jnp.int32(np.iinfo(np.int32).max)),
+        axis=1,
+        keepdims=True,
     )
-    t_out[0] = t_best
-    i_out[0] = best_i
+    miss = kmin >= init_key
+    t_out[0] = jax.lax.bitcast_convert_type(kmin, jnp.float32)
+    i_out[0] = jnp.where(miss, -1, slot)
 
 
-def _pack_key_const(t: float) -> int:
-    """Host-side packed key for a positive float threshold (lane bits 0)."""
-    bits = int(np.float32(t).view(np.int32))
-    return bits & ~127
+def _key_const(t: float) -> int:
+    """Host-side int32 ordering key for a positive float threshold."""
+    return int(np.float32(t).view(np.int32))
 
 
 @functools.partial(
@@ -310,7 +364,7 @@ def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ids (vmax, T)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts (T,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # overflow (T,) int32
-            pl.BlockSpec(memory_space=pl.ANY),  # trif (NB, 16, 5*TB)
+            pl.BlockSpec(memory_space=pl.ANY),  # trif (NB, 48, 5*TB)
         ],
         out_specs=[
             pl.BlockSpec((1, TILE, 1), lambda i: (i, 0, 0),
@@ -323,8 +377,8 @@ def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
             jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((48, 5 * tb), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 48, 5 * tb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(f_tiles, ids, counts, ovf, trif)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Kernel-iteration harness: raw MXU raycast throughput on the headline
+workload shape (20 waypoints x 128k-ray dense-32 scan, patch-ordered rays),
+plus the 640k-tri and incoherent-ray stress cases.
+
+Measures the kernel alone (no beam gen / masks / export) with the honest
+host-read barrier, so kernel variants can be compared turn by turn.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def patch_ordered_scan_rays(num_waypoints=20, r=128_000, lines=32):
+    sys.path.insert(0, "/root/repo/scripts")
+    from ipcgen_tpu.sim.scan import patch_permutation
+
+    phis = np.tile(np.linspace(0, 2 * np.pi, r // lines, endpoint=False), lines)
+    thetas = np.repeat(np.deg2rad(np.linspace(15, -20, lines)), r // lines)
+    dirs = np.stack(
+        [np.cos(thetas) * np.cos(phis), np.cos(thetas) * np.sin(phis),
+         np.sin(thetas)], axis=1).astype(np.float32)
+    perm = patch_permutation(lines, r // lines)
+    dirs = dirs[perm]
+    xs = np.linspace(1.0, 5.0, num_waypoints)
+    origins = np.repeat(
+        np.stack([xs, np.full(num_waypoints, 2.5), np.full(num_waypoints, 1.0)],
+                 axis=1), r, axis=0).astype(np.float32)
+    dirs = np.tile(dirs, (num_waypoints, 1))
+    return origins, dirs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=160_000)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--waypoints", type=int, default=20)
+    ap.add_argument("--incoherent", action="store_true")
+    ap.add_argument("--sort", action="store_true")
+    ap.add_argument("--backend", default="mxu")
+    args = ap.parse_args()
+
+    import jax
+    from bench_raycast import synthetic_room
+
+    from ipcgen_tpu.ops.scene_asset import build_scene_asset
+    from ipcgen_tpu.utils.host import sync
+
+    print(f"backend: {jax.default_backend()}")
+    verts, tris = synthetic_room(args.tris)
+    asset = build_scene_asset(verts, tris)
+    print(f"mesh: {len(tris)} tris, {asset.num_blocks} blocks")
+
+    if args.incoherent:
+        rng = np.random.default_rng(0)
+        n = 2_560_000
+        origins = rng.uniform([0.5, 0.5, 0.3], [5.5, 4.5, 2.2], (n, 3)).astype(np.float32)
+        dirs = rng.normal(size=(n, 3))
+        dirs = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)).astype(np.float32)
+    else:
+        origins, dirs = patch_ordered_scan_rays(args.waypoints)
+    n = len(dirs)
+
+    import functools
+
+    import jax.numpy as jnp
+
+    if args.backend == "mxu":
+        from ipcgen_tpu.ops.raycast_mxu import raycast_mxu_components
+
+        @functools.partial(jax.jit, static_argnames=("sort_rays",))
+        def run(o, d, a, sort_rays=False):
+            return raycast_mxu_components(
+                o, d, a.tri_data, a.block_lo, a.block_hi, t_max=25.0,
+                sort_rays=sort_rays)
+    else:
+        raise SystemExit(f"unknown backend {args.backend}")
+
+    o = jnp.asarray(origins)
+    d = jnp.asarray(dirs)
+    out = run(o, d, asset, sort_rays=args.sort)
+    sync(out[0])
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = run(o, d, asset, sort_rays=args.sort)
+        sync(out[0])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    t = np.asarray(out[0])
+    hits = np.isfinite(t)
+    print(f"{args.backend}{' +sort' if args.sort else ''}: {dt*1e3:.1f} ms -> "
+          f"{n/dt/1e6:.2f} M rays/s  ({hits.mean()*100:.1f}% hits, "
+          f"mean t={t[hits].mean():.3f})")
+
+
+if __name__ == "__main__":
+    main()
