@@ -69,9 +69,29 @@ from ipcgen_tpu.ops.raycast import RaycastResult, finalize_result
 from ipcgen_tpu.ops.scene_asset import SceneAsset
 
 TILE = 1024  # rays per kernel instance
+N_SUB = 4  # subtiles per tile: flat-kernel pairs skip unmasked 256-ray rows
 VMAX = 256  # compacted candidate blocks per tile (overflow -> walk all)
 MEGA = 512  # tiles per pallas_call (bounds the SMEM candidate table)
 _BIG = 3.0e38
+_RING = 4  # panel DMA ring depth (three copies in flight ahead of compute)
+_EPS_T_BITS = int(np.float32(1e-6).view(np.int32))  # t > 1e-6, int domain
+_EPS_DEN_BITS = int(np.float32(1e-9).view(np.int32))  # |den| > 1e-9
+
+
+def _bf16_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Round f32 values onto the bf16 grid, keeping f32 dtype.
+
+    The split x = hi + lo (hi exactly bf16-representable) MUST survive
+    compilation: a plain ``x.astype(bfloat16).astype(float32)`` round-trip
+    is elided by XLA under the default ``--xla_allow_excess_precision``
+    when the whole pipeline is traced in one jit, silently turning the
+    bf16x3 decomposition into [x | x | 0] — the MXU passthrough then
+    re-rounds ``hi`` inconsistently with the residual and near-edge side
+    signs flip (measured: hit fraction 99.98% eager vs 99.58% jit on the
+    bench room).  ``lax.reduce_precision`` is a semantically mandatory
+    rounding op the simplifier cannot remove.
+    """
+    return jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +173,7 @@ def build_trif(tri_data: jnp.ndarray,
     # ~2^-16 relative error.  Every split negates exactly for the
     # neighbouring triangle's reversed edge, so the watertight
     # sign-consistency argument survives the splits.
-    t_hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+    t_hi = _bf16_round(t)
     return jnp.concatenate([t_hi, t - t_hi, t_hi], axis=1)  # (NB, 48, 5*TB)
 
 
@@ -166,12 +186,194 @@ def ray_features(origins: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Candidate prepass (exact per-ray slab tests, tile-union, compaction)
+# Candidate prepass
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("t_max", "vmax"))
+def _tile_slab_or(o_t, d_t, box_lo, box_hi, t_max, chunk, subtiles: int = 1):
+    """Per-tile OR-reduced slab masks.
+
+    o_t/d_t: (T, TILE, 3); box_lo/box_hi either (C, 3) shared boxes or
+    (T, C, 3) per-tile boxes.  Returns (T, C) bool: does any ray of tile t
+    enter box c within [0, t_max)?  With ``subtiles`` = S > 1 the OR is
+    instead taken per contiguous TILE/S-ray subtile, returning (T, S, C) —
+    the flat kernel skips (subtile, block) pairs whose finer-grained slab
+    test fails, cutting the 1024-ray tile-union overhead.  Chunked over
+    tiles so the (chunk, TILE, C) intermediates stay VMEM-sized.  NaN
+    boxes never pass.
+    """
+    n_tiles = o_t.shape[0]
+    per_tile_boxes = box_lo.ndim == 3
+    n_chunks = -(-n_tiles // chunk)
+    pad_t = n_chunks * chunk - n_tiles
+    if pad_t:
+        o_t = jnp.concatenate(
+            [o_t, jnp.broadcast_to(o_t[-1:], (pad_t,) + o_t.shape[1:])]
+        )
+        d_t = jnp.concatenate(
+            [d_t, jnp.broadcast_to(d_t[-1:], (pad_t,) + d_t.shape[1:])]
+        )
+        if per_tile_boxes:
+            box_lo = jnp.concatenate(
+                [box_lo,
+                 jnp.broadcast_to(box_lo[-1:], (pad_t,) + box_lo.shape[1:])]
+            )
+            box_hi = jnp.concatenate(
+                [box_hi,
+                 jnp.broadcast_to(box_hi[-1:], (pad_t,) + box_hi.shape[1:])]
+            )
+
+    def chunk_mask(args):
+        if per_tile_boxes:
+            o, d, lo, hi = args  # (chunk, TILE, 3), (chunk, C, 3)
+            lo = lo[:, None]  # (chunk, 1, C, 3)
+            hi = hi[:, None]
+        else:
+            o, d = args
+            lo = box_lo[None, None]  # (1, 1, C, 3)
+            hi = box_hi[None, None]
+        d_safe = jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+        inv = (1.0 / d_safe)[:, :, None, :]  # (chunk, TILE, 1, 3)
+        oc = o[:, :, None, :]
+        entry = jnp.full(o.shape[:2] + (lo.shape[2],), -_BIG, jnp.float32)
+        exit_ = jnp.full_like(entry, _BIG)
+        for ax in range(3):
+            t1 = (lo[..., ax] - oc[..., ax]) * inv[..., ax]
+            t2 = (hi[..., ax] - oc[..., ax]) * inv[..., ax]
+            entry = jnp.maximum(entry, jnp.minimum(t1, t2))
+            exit_ = jnp.minimum(exit_, jnp.maximum(t1, t2))
+        hit = (exit_ >= jnp.maximum(entry, 0.0)) & (entry < t_max)
+        if subtiles > 1:
+            c = hit.shape[-1]
+            hit = hit.reshape(hit.shape[0], subtiles, -1, c)
+            return jnp.any(hit, axis=2)  # (chunk, S, C)
+        return jnp.any(hit, axis=1)  # (chunk, C)
+
+    o_c = o_t.reshape((n_chunks, chunk) + o_t.shape[1:])
+    d_c = d_t.reshape((n_chunks, chunk) + d_t.shape[1:])
+    if per_tile_boxes:
+        args = (o_c, d_c,
+                box_lo.reshape((n_chunks, chunk) + box_lo.shape[1:]),
+                box_hi.reshape((n_chunks, chunk) + box_hi.shape[1:]))
+    else:
+        args = (o_c, d_c)
+    mask = jax.lax.map(chunk_mask, args)
+    if subtiles > 1:
+        return mask.reshape((-1,) + mask.shape[2:])[:n_tiles]
+    return mask.reshape(-1, mask.shape[-1])[:n_tiles]
+
+
+def _compact_ids(mask, vals):
+    """Stable-compact True positions of (T, C) mask to the front, carrying
+    ``vals`` (same shape); returns (vals_sorted, counts)."""
+    key = jnp.where(mask, 0, 1).astype(jnp.int32)
+    _, vals_sorted = jax.lax.sort_key_val(key, vals, dimension=1)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+    return vals_sorted, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_max", "vmax", "group", "gmax")
+)
 def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
-                     vmax: int = VMAX):
+                     vmax: int = VMAX, group: int = 8, gmax: int = 48):
+    """Per-tile candidate block lists via HIERARCHICAL exact slab tests.
+
+    Round 2 slab-tested every ray against every leaf block: O(R x NB) with
+    tens-of-MB intermediates that spill VMEM — 51 ms of the 171 ms kernel
+    on the bench room, linear in the block count.  Because Morton order
+    makes consecutive blocks spatially local, the same EXACT lists come
+    much cheaper in two stages:
+
+    1. blocks are grouped ``group`` at a time (AABB = NaN-aware min/max of
+       member blocks) and every ray slab-tests every GROUP — NB/group
+       columns instead of NB;
+    2. each tile gathers the blocks of its <= ``gmax`` candidate groups and
+       slab-tests its rays against only those ``gmax * group`` blocks.
+
+    A ray inside a block is inside its group, so stage 2 sees every block
+    stage 0 would have found: the result lists are IDENTICAL to the flat
+    exact prepass (asserted in tests/test_raycast_mxu.py) at ~5x less
+    arithmetic, and stage 1's cost scales with NB/group.  Tiles crossing
+    more than ``gmax`` groups fall back to overflow (kernel walks all
+    blocks) — pick ``gmax`` so real scan tiles never trip it
+    (raycast_mxu_components scales it with the scene's block count).
+
+    Returns (ids (vmax, T) int32, counts (T,) int32, overflow (T,) bool,
+    masks (vmax, T) int32) — ``masks`` holds per-candidate N_SUB-bit
+    subtile masks (bit s set iff subtile s of the tile crosses the block).
+    ``origins``/``dirs`` must already be padded to a TILE multiple.
+    """
+    n = origins.shape[0]
+    n_tiles = n // TILE
+    nb = block_lo.shape[0]
+    o_t = origins.reshape(n_tiles, TILE, 3)
+    d_t = dirs.reshape(n_tiles, TILE, 3)
+
+    # Group AABBs (pad the block axis with NaN rows; all-NaN groups and the
+    # sentinel group can never pass a slab test).
+    ng = -(-nb // group)
+    gmax = min(gmax, ng)
+    pad_b = ng * group - nb
+    nanrow = jnp.full((1, 3), jnp.nan, jnp.float32)
+    blo_p = jnp.concatenate(
+        [block_lo, jnp.broadcast_to(nanrow, (pad_b + group, 3))]
+    )  # (+1 sentinel group of NaN blocks)
+    bhi_p = jnp.concatenate(
+        [block_hi, jnp.broadcast_to(nanrow, (pad_b + group, 3))]
+    )
+    glo = jnp.nanmin(blo_p[: ng * group].reshape(ng, group, 3), axis=1)
+    ghi = jnp.nanmax(bhi_p[: ng * group].reshape(ng, group, 3), axis=1)
+
+    # Stage 1: per-ray group slab, OR-reduced per tile.
+    mask_g = _tile_slab_or(o_t, d_t, glo, ghi, t_max, chunk=8)  # (T, NG)
+    gids = jnp.broadcast_to(jnp.arange(ng, dtype=jnp.int32), mask_g.shape)
+    gids_sorted, counts_g = _compact_ids(mask_g, gids)
+    overflow = counts_g > gmax
+
+    # Stage 2: per-ray slab against the candidate groups' blocks only.
+    sent = ng  # sentinel group -> NaN blocks
+    gsel = jnp.where(
+        jnp.arange(gmax)[None, :] < counts_g[:, None],
+        gids_sorted[:, :gmax], sent,
+    )  # (T, gmax)
+    block_ids = (
+        gsel[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)
+    ).reshape(n_tiles, gmax * group)
+    blo_g = blo_p[block_ids]  # (T, gmax*group, 3)
+    bhi_g = bhi_p[block_ids]
+    mask_s = _tile_slab_or(
+        o_t, d_t, blo_g, bhi_g, t_max, chunk=4, subtiles=N_SUB
+    )  # (T, N_SUB, gmax*group)
+    bits = jnp.zeros(mask_s.shape[::2], jnp.int32)
+    for s in range(N_SUB):
+        bits = bits | (mask_s[:, s, :].astype(jnp.int32) << s)
+    mask_b = bits > 0
+    # Carry (block id, subtile bits) through one sort by packing; ids fit
+    # comfortably (nb < 2^27 at the int32 limit, checked by the caller).
+    packed_sorted, counts = _compact_ids(mask_b, block_ids * 16 + bits)
+    overflow = overflow | (counts > vmax)
+    ids_sorted = packed_sorted >> 4
+    masks_sorted = packed_sorted & 15
+    return (
+        ids_sorted[:, :vmax].T,
+        counts,
+        overflow,
+        masks_sorted[:, :vmax].T,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t_max", "vmax"))
+def candidate_blocks_exact(origins, dirs, block_lo, block_hi, *,
+                           t_max: float, vmax: int = VMAX):
     """Per-tile candidate block lists via exact per-ray slab tests.
+
+    The round-2 flat prepass, kept as the correctness reference for the
+    hierarchical prepass's exactness test.  O(rays x NB) work and
+    (8*TILE, NB) float32 intermediates per map step — prepass cost grows
+    linearly with the block count, so at chunked-scene scale (tens of
+    thousands of blocks) this dominates the kernel; the production path
+    uses the hierarchical ``candidate_blocks`` instead, whose stage-1 cost
+    scales with NB/group.
 
     Returns (ids (vmax, T) int32, counts (T,) int32, overflow (T,) bool).
     ``origins``/``dirs`` must already be padded to a TILE multiple (pad rays
@@ -275,23 +477,26 @@ def _pairs_kernel(
             trif_hbm.at[block_id(v)], trif_vmem.at[slot], sems.at[slot]
         )
 
-    # Double-buffered panel stream: the measured v5e floor for the round-2
-    # serial copy-then-compute loop was ~1.3 us/pair of pure DMA wait + loop
-    # overhead (kernel_probe 'dmaonly') — as large as the matmul itself.
-    # Issuing block v+1's copy into the other buffer before computing block v
-    # hides the transfer behind the matmul+epilogue.
-    @pl.when(trip > 0)
-    def _():
-        panel_dma(0, 0).start()
+    # 4-deep ring-buffered panel stream: the measured v5e floor for the
+    # round-2 serial copy-then-compute loop was ~1.3 us/pair of pure DMA
+    # wait + loop overhead (kernel_probe 'dmaonly') — as large as the
+    # matmul itself.  A double buffer (issue v+1, wait v) still left
+    # ~1.27 us/pair of floor; a 4-slot ring with three copies in flight
+    # measures 0.79-0.89 us/pair (kernel_probe 'dmaonly4'), hiding the
+    # per-copy issue latency behind three iterations of compute.
+    for warm in range(_RING - 1):
+        @pl.when(warm < trip)
+        def _(warm=warm):
+            panel_dma(warm, warm).start()
 
     def body(v, carry):
         best_key, best_blk = carry
-        slot = jax.lax.rem(v, 2)
+        slot = jax.lax.rem(v, _RING)
         b = block_id(v)
 
-        @pl.when(v + 1 < trip)
+        @pl.when(v + _RING - 1 < trip)
         def _():
-            panel_dma(v + 1, 1 - slot).start()
+            panel_dma(v + _RING - 1, jax.lax.rem(v + _RING - 1, _RING)).start()
 
         panel_dma(v, slot).wait()
         # Fused bf16x3 (see build_trif): one K=48 matmul on the MXU's
@@ -309,16 +514,22 @@ def _pairs_kernel(
         i2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
         ok = ((i0 ^ i1) | (i0 ^ i2)) >= 0  # all three sign bits equal
         t = tnum / tden
-        # |t_den| guard mirrors the oracle's MT_EPS determinant guard
-        # (det = -t_den): near-plane-parallel rays otherwise pass the side
-        # tests with an ill-conditioned 0/0 distance.  Padding (0/0 = NaN)
-        # fails the guard too.
-        ok = ok & (t > 1e-6) & (jnp.abs(tden) > 1e-9)
+        # Guards run in the integer domain on the raw bit patterns
+        # (cheaper on the VPU than float abs/compare, same semantics):
+        # - positive floats order like their bits, so t > 1e-6 is one int
+        #   compare against the 1e-6 bit pattern; negative t (sign bit =>
+        #   negative int) and NaN-from-0/0 padding (0x7fc.. > any t bits we
+        #   keep, but caught by the den guard) both fail;
+        # - the |t_den| > 1e-9 guard mirrors the oracle's MT_EPS
+        #   determinant guard (det = -t_den): near-plane-parallel rays
+        #   otherwise pass the side tests with an ill-conditioned 0/0
+        #   distance.  |x| in bits is a single mask of the sign bit.
+        tb_i = jax.lax.bitcast_convert_type(t, jnp.int32)
+        den_i = jax.lax.bitcast_convert_type(tden, jnp.int32) & 0x7FFFFFFF
+        ok = ok & (tb_i > _EPS_T_BITS) & (den_i > _EPS_DEN_BITS)
         # Positive IEEE floats compare like their bit patterns, so the
         # per-lane running min works on the raw t bits (full precision).
-        key = jnp.where(
-            ok, jax.lax.bitcast_convert_type(t, jnp.int32), init_key
-        )
+        key = jnp.where(ok, tb_i, init_key)
         take = key < best_key
         return (
             jnp.where(take, key, best_key),
@@ -344,6 +555,213 @@ def _pairs_kernel(
 def _key_const(t: float) -> int:
     """Host-side int32 ordering key for a positive float threshold."""
     return int(np.float32(t).view(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Flat pair-grid kernel
+# ---------------------------------------------------------------------------
+PAIR_BUDGET = 64  # aggregate pair capacity per tile for one flat dispatch
+
+
+_INNER = 2048  # static inner grid extent of the flat pair dispatch
+
+
+def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
+                 t_out, i_out, bk, bb, fc48, *, tb: int, t_init: float):
+    """One grid step = one real (tile, candidate-block) pair.
+
+    The fori-loop kernel's measured per-pair cost decomposes additively:
+    ~0.9 us of scalar-core DMA machinery (descriptor setup, semaphore
+    start/wait — serialized with vector issue) + ~1.6 us of compute.  Here
+    the panel fetch rides Mosaic's hardware pipeline instead (the BlockSpec
+    below indexes ``trif`` by a scalar-prefetched pair->block array), and
+    the running per-lane min/argmin lives in VMEM scratch across the steps
+    of a tile — reset at tile transitions, written back at each tile's
+    last pair.
+
+    The grid is 2-D (dynamic outer, static _INNER): a fully dynamic 1-D
+    grid is supported by Mosaic but measured ~0.4 us/pair slower (it
+    defeats the pipeliner's lookahead), while a fully static cap-sized
+    grid pays ~0.57 us per dead pad step — the hybrid keeps the inner
+    loop static for the pipeliner and bounds dead steps at _INNER-1
+    (pads repeat the last real pair, so their copies are skipped, and
+    ``i >= ns`` guards all compute).  Real steps are tile-sorted;
+    consecutive equal tiles reuse the cached ``f`` block and its
+    in-kernel bf16x3 split (``fc48`` scratch, rebuilt at transitions —
+    materializing the 48-wide split in HBM instead measured ~15 ms per
+    2.5 M rays).
+
+    Each pair also carries an N_SUB-bit subtile mask: the prepass slab
+    tests at 256-ray granularity, and rows of subtiles that never cross
+    the pair's block skip the matmul + epilogue entirely — the
+    finer-granularity cull that the 1024-ray tile union loses (~45% of
+    (subtile, block) pairs on the bench room; measured 1.60 -> 1.29
+    us/pair).
+
+    The t ordering runs in the int32 domain (positive-float bit order):
+    one ``t > eps`` compare subsumes t<=0 / NaN / inf (their bit patterns
+    are negative or larger than any finite key), so no separate
+    denominator test is needed.
+    """
+    init_key = _key_const(t_init)
+    i = pl.program_id(0) * _INNER + pl.program_id(1)
+    ns = ns_ref[0]
+    valid = i < ns
+    tile = tiles_ref[i]
+    prev = jnp.where(i == 0, -1, tiles_ref[jnp.maximum(i - 1, 0)])
+
+    @pl.when(valid & (tile != prev))
+    def _():
+        bk[:] = jnp.full_like(bk, init_key)
+        bb[:] = jnp.zeros_like(bb)
+        f = f_ref[0]
+        h = f.astype(jnp.bfloat16).astype(jnp.float32)
+        fc48[:, 0:16] = h
+        fc48[:, 16:32] = h
+        fc48[:, 32:48] = f - h
+
+    msk = masks_ref[i]
+    sub = TILE // N_SUB
+    for s in range(N_SUB):
+        @pl.when(valid & (((msk >> s) & 1) != 0))
+        def _(s=s):
+            rows = slice(s * sub, (s + 1) * sub)
+            g = jnp.dot(fc48[rows], trif_ref[0],
+                        preferred_element_type=jnp.float32)
+            i0 = jax.lax.bitcast_convert_type(g[:, 0 * tb: 1 * tb], jnp.int32)
+            i1 = jax.lax.bitcast_convert_type(g[:, 1 * tb: 2 * tb], jnp.int32)
+            i2 = jax.lax.bitcast_convert_type(g[:, 2 * tb: 3 * tb], jnp.int32)
+            t = g[:, 3 * tb: 4 * tb] / g[:, 4 * tb: 5 * tb]
+            ok = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+            tb_i = jax.lax.bitcast_convert_type(t, jnp.int32)
+            ok = ok & (tb_i > _EPS_T_BITS)
+            key = jnp.where(ok, tb_i, init_key)
+            best = bk[rows]
+            take = key < best
+            bk[rows] = jnp.where(take, key, best)
+            bb[rows] = jnp.where(take, blocks_ref[i], bb[rows])
+
+    @pl.when(valid & ((i + 1 == ns) | (tiles_ref[i + 1] != tile)))
+    def _():
+        best_key = bk[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, tb), 1)
+        kmin = jnp.min(best_key, axis=1, keepdims=True)
+        packed = bb[:] * tb + lane
+        slot = jnp.min(
+            jnp.where(best_key == kmin, packed,
+                      jnp.int32(np.iinfo(np.int32).max)),
+            axis=1, keepdims=True)
+        miss = kmin >= init_key
+        t_out[0] = jax.lax.bitcast_convert_type(kmin, jnp.float32)
+        i_out[0] = jnp.where(miss, -1, slot)
+
+
+def _flat_call(pair_tiles, pair_blocks, pair_masks, n_steps, f_tiles, trif,
+               *, tb: int, t_init: float, interpret: bool = False):
+    """Dispatch the flat kernel over a (dynamic, _INNER) pair grid.
+
+    ``f_tiles`` is the raw (n_tiles, TILE, 16) ray-feature array; the
+    bf16x3 split happens in-kernel at tile transitions.
+    """
+    n_tiles = f_tiles.shape[0]
+    kern = functools.partial(_flat_kernel, tb=tb, t_init=t_init)
+    ns = jnp.asarray(n_steps, jnp.int32).reshape(1)
+    if interpret:
+        # interpret mode can't take a traced grid extent; walk the full
+        # static capacity instead (dead steps are guarded, speed moot).
+        outer = pair_blocks.shape[0] // _INNER
+    else:
+        outer = (ns[0] + _INNER - 1) // _INNER
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(outer, _INNER),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE, 16),
+                lambda io, ii, tiles, blks, msks, ns:
+                    (tiles[io * _INNER + ii], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 48, 5 * tb),
+                lambda io, ii, tiles, blks, msks, ns:
+                    (blks[io * _INNER + ii], 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, TILE, 1),
+                lambda io, ii, tiles, blks, msks, ns:
+                    (tiles[io * _INNER + ii], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, TILE, 1),
+                lambda io, ii, tiles, blks, msks, ns:
+                    (tiles[io * _INNER + ii], 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, tb), jnp.int32),
+            pltpu.VMEM((TILE, tb), jnp.int32),
+            pltpu.VMEM((TILE, 48), jnp.float32),
+        ],
+    )
+    t, slot = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pair_tiles, pair_blocks, pair_masks, ns, f_tiles, trif)
+    return t.reshape(-1), slot.reshape(-1)
+
+
+def _build_pair_list(ids, counts, ovf, masks, cap: int):
+    """Tile-sorted flat (tile, block, mask) pair list from candidates.
+
+    ids/masks (vmax, T) / counts (T,) / ovf (T,) are the prepass outputs
+    for ONE chunk of tiles.  Returns (tiles (cap+1,), blocks (cap,),
+    masks (cap,), n_steps, handled (T,)): ``handled`` marks tiles whose
+    exact lists fit the aggregate ``cap`` — unhandled tiles (overflow, or
+    spill past cap on adversarial ray sets) take the fori-loop kernel
+    instead.  Positions >= n_steps repeat the LAST real pair's (tile,
+    block) — the kernel's ``i < ns`` guard skips their compute, and their
+    unchanged block indices let the Mosaic pipeliner skip their copies, so
+    a padded step costs ~0.1 us instead of a full pair.  When n_steps is
+    0 every entry keeps the scatter defaults (tile T-1, block 0), still
+    in-range for the index_maps; the outputs are garbage but every tile is
+    unhandled so the caller takes the fallback values.
+    """
+    vmax, T = ids.shape
+    handled = (~ovf) & (counts > 0)
+    eff = jnp.where(handled, counts, 0)
+    start = jnp.cumsum(eff) - eff
+    handled = handled & (start + eff <= cap)
+    eff = jnp.where(handled, counts, 0)
+    start = jnp.cumsum(eff) - eff  # recompute: conservative but contiguous
+    n_steps = jnp.sum(eff)
+    j = jnp.arange(vmax, dtype=jnp.int32)[None, :]
+    valid = j < eff[:, None]  # (T, vmax)
+    pos = jnp.where(valid, start[:, None] + j, cap)  # cap = dump slot
+    tiles = jnp.full((cap + 2,), T - 1, jnp.int32)
+    blocks = jnp.full((cap + 1,), 0, jnp.int32)
+    mask_out = jnp.full((cap + 1,), 0, jnp.int32)
+    tile_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], pos.shape
+    )
+    tiles = tiles.at[pos.reshape(-1)].set(tile_ids.reshape(-1), mode="drop")
+    blocks = blocks.at[pos.reshape(-1)].set(ids.T.reshape(-1), mode="drop")
+    mask_out = mask_out.at[pos.reshape(-1)].set(
+        masks.T.reshape(-1), mode="drop"
+    )
+    # Pad positions >= n_steps with the last real pair (see docstring).
+    last = jnp.maximum(n_steps - 1, 0)
+    idx_t = jnp.arange(cap + 1, dtype=jnp.int32)
+    tiles = jnp.where(idx_t >= n_steps, tiles[last], tiles[: cap + 1])
+    blocks = jnp.where(idx_t[:cap] >= n_steps, blocks[last], blocks[:cap])
+    mask_out = jnp.where(idx_t[:cap] >= n_steps, 0, mask_out[:cap])
+    return tiles, blocks, mask_out, n_steps, handled
 
 
 @functools.partial(
@@ -377,8 +795,8 @@ def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
             jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 48, 5 * tb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_RING, 48, 5 * tb), jnp.float32),
+            pltpu.SemaphoreType.DMA((_RING,)),
         ],
         interpret=interpret,
     )(f_tiles, ids, counts, ovf, trif)
@@ -415,17 +833,26 @@ def raycast_mxu_components(
     *,
     t_max: float = np.inf,
     interpret: bool = False,
-    sort_rays: bool = False,
+    sort_rays="auto",
 ):
     """MXU raycast over raw asset components; returns (t, packed_slot).
 
     ``t`` is +inf on miss (matching the other backends' pre-finalize
     contract); slots are packed block*TB + lane indices into tri_data.
     ``sort_rays`` groups incoherent ray sets into coherent tiles (see
-    _ray_sort_order); results come back in the caller's order.
+    _ray_sort_order); results come back in the caller's order.  The default
+    ``"auto"`` measures the prepass overflow fraction (tiles whose rays
+    cross more candidate groups/blocks than the compacted lists hold — the
+    signature of incoherent tiles degenerating toward all-blocks walks) and
+    re-runs sorted when it exceeds 2%; this needs a host read, so inside a
+    jit trace ``"auto"`` quietly means False (callers under jit — the scan
+    paths — impose coherence via their own patch permutation instead).
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
+    auto_sort = sort_rays == "auto"
+    if auto_sort:
+        sort_rays = False
     n = origins.shape[0]
     nb = tri_data.shape[0]
     tb = tri_data.shape[2]
@@ -446,33 +873,103 @@ def raycast_mxu_components(
 
     pad = (-n) % TILE
     if pad:
+        # Pad by repeating the last real ray: keeps the final tile's ray
+        # bundle spatially tight for the prepass (far-away pad origins
+        # would add spurious candidate groups to that tile).  Padded
+        # results are sliced off below.
         origins = jnp.concatenate(
-            [origins, jnp.full((pad, 3), 1e8, jnp.float32)]
+            [origins, jnp.broadcast_to(origins[-1:], (pad, 3))]
         )
-        dirs = jnp.concatenate(
-            [dirs, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))]
-        )
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))])
     n_tiles = origins.shape[0] // TILE
 
     # Scene centering conditions the Pluecker intermediates (see build_trif).
     center = (jnp.nanmin(block_lo, axis=0) + jnp.nanmax(block_hi, axis=0)) * 0.5
     trif = build_trif(tri_data, center)
-    ids, counts, ovf = candidate_blocks(
-        origins, dirs, block_lo, block_hi, t_max=t_init, vmax=VMAX
+    # Hierarchical-prepass sizing, bucketed so block-count buckets share
+    # compiled programs.  ``group`` grows with the scene so stage 1's
+    # (chunk, TILE, NB/group) intermediates stay VMEM-sized at any block
+    # count (advisor r2: the flat prepass scaled linearly with NB);
+    # ``gmax`` grows too because larger scenes cross more groups per tile.
+    group = 8 if nb <= 8192 else (16 if nb <= 32768 else 32)
+    # gmax/vmax generous enough that real scan tiles essentially never
+    # overflow (an overflowing tile walks EVERY block in the fori
+    # fallback: at 640 k tris the bench room's 63 straggler tiles —
+    # partial patches with mixed directions, candidate lists up to ~600
+    # blocks — cost ~500 ms under VMAX=256; stage 2's extra slab width
+    # and a longer compacted list are far cheaper).  The fori fallback
+    # keeps its own VMAX-entry SMEM table; unhandled tiles whose lists
+    # exceed it are demoted to walk-all there (rare by construction).
+    gmax = 96 if nb <= 2048 else (128 if nb <= 8192 else 192)
+    vmax = VMAX if nb <= 2048 else min(768, nb)
+    if nb >= (1 << 27):
+        raise ValueError(
+            f"mxu backend packs block ids with {N_SUB}-bit subtile masks; "
+            f"block count must be < 2^27, got {nb}"
+        )
+    ids, counts, ovf, submasks = candidate_blocks(
+        origins, dirs, block_lo, block_hi, t_max=t_init, vmax=vmax,
+        group=group, gmax=gmax,
     )
+    if auto_sort and not isinstance(ovf, jax.core.Tracer):
+        ovf_frac = float(jnp.mean(ovf.astype(jnp.float32)))
+        if ovf_frac > 0.02:
+            return raycast_mxu_components(
+                origins[:n], dirs[:n], tri_data, block_lo, block_hi,
+                t_max=t_max, interpret=interpret, sort_rays=True,
+            )
     f = ray_features(origins - center, dirs).reshape(n_tiles, TILE, 16)
 
-    # Chunk tiles so the SMEM candidate table stays bounded.
+    # Chunk tiles so the SMEM candidate/pair tables stay bounded.  Each
+    # chunk runs the flat pair-grid kernel over every tile whose exact
+    # candidate list fits the aggregate pair budget, plus the fori-loop
+    # kernel as the exact fallback for overflow/spill tiles — skipped via
+    # lax.cond in the common case where nothing actually needs it (the
+    # usual reason a tile is unhandled is counts == 0, whose correct
+    # result is a plain miss).
     ts, slots = [], []
     for s in range(0, n_tiles, MEGA):
         e = min(s + MEGA, n_tiles)
-        t, slot = _pairs_call(
-            f[s:e], ids[:, s:e], counts[s:e], ovf[s:e].astype(jnp.int32),
-            trif, tb=tb, nb=nb, vmax=VMAX, t_init=t_init,
-            interpret=interpret,
+        # Round the pair capacity to the flat kernel's _INNER grid extent:
+        # its index_maps read pair entries up to ceil(ns/_INNER)*_INNER-1.
+        cap = -(-(e - s) * PAIR_BUDGET // _INNER) * _INNER
+        tiles_c, blocks_c, masks_c, n_steps, handled = _build_pair_list(
+            ids[:, s:e], counts[s:e], ovf[s:e], submasks[:, s:e], cap
         )
-        ts.append(t)
-        slots.append(slot)
+        t_flat, s_flat = _flat_call(
+            tiles_c, blocks_c, masks_c, n_steps, f[s:e], trif,
+            tb=tb, t_init=t_init, interpret=interpret,
+        )
+        # Fallback bookkeeping: the fori kernel's SMEM candidate table is
+        # capped at VMAX entries regardless of the flat path's wider
+        # ``vmax`` — unhandled tiles whose lists don't fit are demoted to
+        # walk-all (exact, just slower; rare by construction).
+        ovf_fb = ovf[s:e] | ((~handled) & (counts[s:e] > VMAX))
+        counts_fb = jnp.where(
+            handled, 0, jnp.minimum(counts[s:e], VMAX)
+        )
+        needs_fori = jnp.any(counts_fb > 0) | jnp.any(ovf_fb)
+
+        def run_fori(f_c, ids_c, counts_c, ovf_c):
+            return _pairs_call(
+                f_c, ids_c, counts_c, ovf_c, trif, tb=tb, nb=nb,
+                vmax=VMAX, t_init=t_init, interpret=interpret,
+            )
+
+        def skip_fori(f_c, ids_c, counts_c, ovf_c):
+            nray = f_c.shape[0] * TILE
+            return (
+                jnp.full((nray,), t_init, jnp.float32),
+                jnp.full((nray,), -1, jnp.int32),
+            )
+
+        t_fori, s_fori = jax.lax.cond(
+            needs_fori, run_fori, skip_fori,
+            f[s:e], ids[:VMAX, s:e], counts_fb, ovf_fb.astype(jnp.int32),
+        )
+        hray = jnp.repeat(handled, TILE)
+        ts.append(jnp.where(hray, t_flat, t_fori))
+        slots.append(jnp.where(hray, s_flat, s_fori))
     t = jnp.concatenate(ts) if len(ts) > 1 else ts[0]
     slot = jnp.concatenate(slots) if len(slots) > 1 else slots[0]
     t = t[:n]
@@ -487,9 +984,12 @@ def raycast_mxu_components(
 
 def raycast_asset_mxu(
     origins, dirs, asset: SceneAsset, t_max: float = np.inf,
-    interpret: bool = False, sort_rays: bool = False,
+    interpret: bool = False, sort_rays="auto",
 ) -> RaycastResult:
-    """Intersect rays with the resident scene via the MXU pairs kernel."""
+    """Intersect rays with the resident scene via the MXU pairs kernel.
+
+    ``sort_rays="auto"`` (default) re-sorts incoherent ray sets when the
+    prepass overflows (see raycast_mxu_components)."""
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     t, slot = raycast_mxu_components(

@@ -113,7 +113,7 @@ def test_candidate_blocks_exactness(rng):
     origins = np.tile(np.array([2, 1.5, 1.0], np.float32), (n, 1))
     dirs = rng.normal(size=(n, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    ids, counts, ovf = candidate_blocks(
+    ids, counts, ovf, masks = candidate_blocks(
         origins, dirs, asset.block_lo, asset.block_hi, t_max=20.0, vmax=1024
     )
     got = set(np.asarray(ids)[: int(counts[0]), 0].tolist())
@@ -124,9 +124,76 @@ def test_candidate_blocks_exactness(rng):
     t2 = (bhi[None] - origins[:, None]) * inv[:, None]
     entry = np.nanmax(np.minimum(t1, t2), axis=2)
     exit_ = np.nanmin(np.maximum(t1, t2), axis=2)
-    hit = (exit_ >= np.maximum(entry, 0)) & (entry < 20.0)
+    hit = (exit_ >= np.maximum(entry, 0)) & (entry < 20.0)  # (rays, NB)
     want = set(np.nonzero(hit.any(axis=0))[0].tolist())
     assert want <= got, want - got
+    # Subtile masks: bit s must be set whenever any ray of 256-ray row s
+    # crosses the block (the kernel skips unmasked rows entirely).
+    sub = raycast_mxu.TILE // raycast_mxu.N_SUB
+    want_bits = np.zeros(hit.shape[1], np.int32)
+    for s in range(raycast_mxu.N_SUB):
+        want_bits |= hit[s * sub : (s + 1) * sub].any(axis=0) << s
+    got_masks = {
+        int(b): int(m)
+        for b, m in zip(
+            np.asarray(ids)[: int(counts[0]), 0],
+            np.asarray(masks)[: int(counts[0]), 0],
+        )
+    }
+    for b in want:
+        assert want_bits[b] & ~got_masks[b] == 0, (
+            f"block {b}: kernel would skip a crossing subtile "
+            f"(want {want_bits[b]:04b}, got {got_masks[b]:04b})"
+        )
+
+
+def test_hierarchical_prepass_matches_flat_exact(rng):
+    """The two-stage (group -> block) prepass must produce the SAME
+    candidate sets as the flat per-ray slab prepass (a block is inside its
+    group, so the group stage can hide nothing; the pairs kernel silently
+    returns wrong hits for any missing block)."""
+    from ipcgen_tpu.ops.raycast_mxu import TILE, candidate_blocks_exact
+
+    verts, tris = _cluttered_room(rng, n_boxes=8)
+    asset = build_scene_asset(verts, tris, block_size=16, super_factor=4)
+    n_tiles = 6
+    n = n_tiles * TILE
+    # Mix of coherent scan wedges (per-waypoint fans) and random-ish tiles.
+    phis = np.linspace(0, 2 * np.pi, TILE, endpoint=False)
+    thetas = np.deg2rad(rng.uniform(-30, 20, size=TILE))
+    fan = np.stack(
+        [np.cos(thetas) * np.cos(phis), np.cos(thetas) * np.sin(phis),
+         np.sin(thetas)], axis=1,
+    ).astype(np.float32)
+    dirs, origins = [], []
+    for i in range(n_tiles):
+        if i % 2 == 0:
+            dirs.append(fan)
+            origins.append(
+                np.tile(rng.uniform([1, 1, 0.5], [3, 2, 1.5]), (TILE, 1))
+            )
+        else:
+            d = rng.normal(size=(TILE, 3))
+            dirs.append(d / np.linalg.norm(d, axis=1, keepdims=True))
+            origins.append(rng.uniform([1, 1, 0.5], [3, 2, 1.5], (TILE, 3)))
+    origins = np.concatenate(origins).astype(np.float32)
+    dirs = np.concatenate(dirs).astype(np.float32)
+
+    vmax = asset.num_blocks  # no truncation: compare full lists
+    ids_c, counts_c, ovf_c, _masks_c = candidate_blocks(
+        origins, dirs, asset.block_lo, asset.block_hi, t_max=20.0,
+        vmax=vmax, group=8, gmax=asset.num_blocks,
+    )
+    ids_e, counts_e, ovf_e = candidate_blocks_exact(
+        origins, dirs, asset.block_lo, asset.block_hi, t_max=20.0, vmax=vmax
+    )
+    ids_c, ids_e = np.asarray(ids_c), np.asarray(ids_e)
+    counts_c, counts_e = np.asarray(counts_c), np.asarray(counts_e)
+    np.testing.assert_array_equal(counts_c, counts_e)
+    for t in range(n_tiles):
+        exact = set(ids_e[: counts_e[t], t].tolist())
+        hier = set(ids_c[: counts_c[t], t].tolist())
+        assert exact == hier, f"tile {t}: {exact ^ hier}"
 
 
 def test_patch_permutation_is_permutation():
