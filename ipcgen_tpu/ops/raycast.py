@@ -312,6 +312,11 @@ def raycast_asset(
         return raycast_asset_pallas(origins, dirs, asset, t_max=t_max)
     if backend == "xla":
         return raycast_asset_xla_culled(origins, dirs, asset, t_max=t_max)
+    if backend != "xla_brute":
+        raise ValueError(
+            f"unknown raycast backend {backend!r}; expected one of "
+            "'auto', 'mxu', 'pallas', 'xla', 'xla_brute'"
+        )
     res = raycast_asset_xla(origins, dirs, asset)
     if np.isfinite(t_max):
         keep = res.hit & (res.t < t_max)

@@ -281,24 +281,32 @@ def _sharded_scan_core(
     from ipcgen_tpu.sim.scan import ScanBatch
 
     @jax.jit
-    def core(asset, poses, dirs_sensor, keep, noise_key):
+    def core(asset, poses, dirs_sensor, keep, noise_key, perm, inv_perm):
         dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)
         origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
         w, r, _ = dirs_world.shape
+        # Raycast in patch-permuted order (sim/scan.py scan_permutation):
+        # each chip's ray shard keeps the same angular tile coherence as the
+        # single-chip kernel.  Origins are constant per waypoint, so only
+        # the directions need reordering; results are restored below before
+        # noise so the noise stream matches the single-chip scan bit-exact.
         res = sharded_raycast_rays(
-            origins.reshape(w * r, 3), dirs_world.reshape(w * r, 3), asset, mesh,
+            origins.reshape(w * r, 3),
+            dirs_world[:, perm].reshape(w * r, 3), asset, mesh,
             axis=ray_axis, backend=backend, t_max=max_range,
             interpret=interpret,
         )
-        t = res.t.reshape(w, r)
-        hit = res.hit.reshape(w, r)
-        points = res.points.reshape(w, r, 3)
-        normals = res.normals.reshape(w, r, 3)
+        t = res.t.reshape(w, r)[:, inv_perm]
+        hit = res.hit.reshape(w, r)[:, inv_perm]
+        points = res.points.reshape(w, r, 3)[:, inv_perm]
+        normals = res.normals.reshape(w, r, 3)[:, inv_perm]
         if range_noise_std > 0.0:
             # Same semantics as the single-chip scan (sim/scan.py): sigma
             # perturbs the measured distance before point reconstruction.
             sigma = jax.random.normal(noise_key, t.shape) * range_noise_std
-            t = jnp.where(hit, t + sigma, t)
+            # Millimetre floor as in sim/scan.py: range noise must not
+            # reconstruct points behind the sensor.
+            t = jnp.where(hit, jnp.maximum(t + sigma, 1e-3), t)
             points = origins + dirs_world * t[..., None]
         mask = hit & keep & (t < max_range)
         incident = jnp.degrees(
@@ -403,7 +411,7 @@ def scan_waypoints_sharded(
     whole post-beam-gen program (transform, per-chip Pallas/culled-XLA
     raycast with range culling, masking) is one compiled dispatch.
     """
-    from ipcgen_tpu.sim.scan import sensor_dirs_batch
+    from ipcgen_tpu.sim.scan import scan_permutation, sensor_dirs_batch
 
     poses = jnp.asarray(poses, jnp.float32)
     n_waypoints = poses.shape[0]
@@ -419,12 +427,19 @@ def scan_waypoints_sharded(
     else:
         beam_key = noise_key = key
     dirs_sensor, keep = sensor_dirs_batch(intrinsics, n_waypoints, beam_key)
+    resolved = _resolve_backend(backend)
+    perm, inv_perm = scan_permutation(
+        intrinsics, resolved, int(dirs_sensor.shape[1])
+    )
     core = _sharded_scan_core(
         mesh, ray_axis, float(intrinsics.max_range),
-        backend=_resolve_backend(backend), interpret=bool(interpret),
+        backend=resolved, interpret=bool(interpret),
         range_noise_std=sigma,
     )
-    return core(asset, poses, dirs_sensor, keep, noise_key)
+    return core(
+        asset, poses, dirs_sensor, keep, noise_key,
+        jnp.asarray(perm), jnp.asarray(inv_perm),
+    )
 
 
 def sharded_grid_nn(

@@ -153,6 +153,31 @@ def patch_permutation(h: int, w: int, lines_pp: int = 8,
     return perm
 
 
+def scan_permutation(intrinsics, backend: str, r: int):
+    """(perm, inv_perm) pair for a profile/backend combination.
+
+    The MXU kernel wants angularly tight 1024-ray tiles (see
+    patch_permutation); other backends take the identity.  Shared by the
+    single-chip scan and the sharded scan (parallel/shard.py) so a ray-DP
+    multi-chip run keeps the same per-chip tile coherence as one chip.
+    """
+    if backend == "mxu" and isinstance(intrinsics, Indoor8LineLidarIntrinsics):
+        h = (
+            len(intrinsics.vertical_degrees)
+            if intrinsics.vertical_degrees is not None
+            else intrinsics.vertical_res
+        )
+        perm = patch_permutation(h, r // h)
+    elif backend == "mxu" and isinstance(intrinsics, DualAxisLidarIntrinsics):
+        # The dual-axis spiral is also line-major (beams.gen_dual_axis_dirs);
+        # the same patch reorder keeps kernel tiles angularly tight.
+        h = int(intrinsics.num_vertical_lines)
+        perm = patch_permutation(h, r // h)
+    else:
+        perm = _identity_perm(r)
+    return perm, _inverse_perm(perm.tobytes(), r)
+
+
 @functools.lru_cache(maxsize=32)
 def _identity_perm(r: int) -> np.ndarray:
     p = np.arange(r, dtype=np.int32)
@@ -209,7 +234,10 @@ def _scan_core(
         # sigma, lidar/lidar_intrinsics.py:236, but never applies it —
         # resolved per SURVEY.md §7, behind a flag defaulting to parity/off).
         sigma = jax.random.normal(noise_key, t.shape) * range_noise_std
-        t = jnp.where(hit, t + sigma, t)
+        # Floor at a millimetre: for hits closer than ~3 sigma the Gaussian
+        # could drive t negative and reconstruct the point behind the
+        # sensor (a physical sensor saturates, it does not mirror).
+        t = jnp.where(hit, jnp.maximum(t + sigma, 1e-3), t)
         points = origins + dirs_world * t[..., None]
 
     mask = hit & keep & (t < max_range)
@@ -278,21 +306,7 @@ def scan_waypoints(
     if backend == "auto":
         backend = "mxu" if jax.default_backend() == "tpu" else "xla"
     r = dirs_sensor.shape[1]
-    if backend == "mxu" and isinstance(intrinsics, Indoor8LineLidarIntrinsics):
-        h = (
-            len(intrinsics.vertical_degrees)
-            if intrinsics.vertical_degrees is not None
-            else intrinsics.vertical_res
-        )
-        perm = patch_permutation(h, r // h)
-    elif backend == "mxu" and isinstance(intrinsics, DualAxisLidarIntrinsics):
-        # The dual-axis spiral is also line-major (beams.gen_dual_axis_dirs);
-        # the same patch reorder keeps kernel tiles angularly tight.
-        h = int(intrinsics.num_vertical_lines)
-        perm = patch_permutation(h, r // h)
-    else:
-        perm = _identity_perm(r)
-    inv_perm = _inverse_perm(perm.tobytes(), r)
+    perm, inv_perm = scan_permutation(intrinsics, backend, r)
     return _scan_core(
         asset,
         poses,

@@ -36,6 +36,12 @@ def sync(x) -> None:
     leaves = x if isinstance(x, (tuple, list)) else (x,)
     for leaf in leaves:
         arr = jnp.asarray(leaf)
+        if arr.size == 0:
+            # A zero-element reduction would raise; an empty array still
+            # participates in program ordering, so summing it (0 elements
+            # -> 0.0) is a valid completion barrier for its computation.
+            float(jnp.sum(arr.astype(jnp.float32)))
+            continue
         if arr.dtype == jnp.bool_:
             arr = arr.astype(jnp.uint8)
         float(jnp.max(arr.ravel()[:1]))  # O(1) host read = completion barrier
