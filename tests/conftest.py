@@ -43,3 +43,24 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: needs a real TPU chip (probed via subprocess)"
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute redundant-coverage test; skipped unless "
+        "--runslow (or RUN_SLOW=1) is given",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow; pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
