@@ -247,6 +247,129 @@ def _extra_workloads():
     }
 
 
+def _sample_tls_cloud(verts, tris, n_points, seed=0):
+    """Area-weighted surface sampling of a mesh -> (points, normals)."""
+    rng = np.random.default_rng(seed)
+    v = verts[tris]  # (T, 3, 3)
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    nrm = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(nrm, axis=1)
+    p = area / area.sum()
+    pick = rng.choice(len(tris), size=n_points, p=p)
+    r1 = np.sqrt(rng.uniform(size=(n_points, 1))).astype(np.float32)
+    r2 = rng.uniform(size=(n_points, 1)).astype(np.float32)
+    pts = (
+        (1 - r1) * v[pick, 0]
+        + r1 * (1 - r2) * v[pick, 1]
+        + r1 * r2 * v[pick, 2]
+    ).astype(np.float32)
+    normals = nrm[pick]
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-9)
+    return pts, normals.astype(np.float32)
+
+
+def _production_workloads():
+    """Production-geometry + production-profile numbers (VERDICT r2 #2).
+
+    1. reconstructed_mesh_32line: the repo's own SDF-fusion + marching-
+       tetrahedra reconstruction of a synthetic TLS surface cloud of the
+       bench room — the mesh the reference engine actually scans is a
+       reconstruction output (s3dis_simulator.py:91 loads mesh_dense.ply),
+       all oblique marching-tet faces, not an axis-aligned box.
+    2. blk2go_dual_axis: the reference's default production profile
+       (s3dis_simulator.py:598-605, create_blk2go_dual_axis,
+       lidar_intrinsics.py:152-186): 64k-ray spiral scans with per-ray
+       angle noise + dropout, 80 waypoints, range noise on.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    import jax
+    from bench_raycast import synthetic_room
+
+    from ipcgen_tpu.models import DualAxisLidarIntrinsics
+    from ipcgen_tpu.ops.scene_asset import build_scene_asset
+    from ipcgen_tpu.recon.reconstructor import SurfaceReconstructor
+    from ipcgen_tpu.sim.scan import scan_waypoints
+    from ipcgen_tpu.trajectory import Waypoint
+    from ipcgen_tpu.trajectory.waypoint import waypoints_to_pose_batch
+    from ipcgen_tpu.utils.host import sync
+
+    out = {}
+
+    # --- 1. reconstructed mesh ------------------------------------------
+    verts, tris = synthetic_room(BENCH_TRIS)
+    pts, normals = _sample_tls_cloud(verts, tris, n_points=1_500_000)
+    recon = SurfaceReconstructor(voxel_size=0.03, mise_iter=1)
+    mesh, rstats = recon.reconstruct(pts, normals)
+    recon_asset = build_scene_asset(
+        np.asarray(mesh.vertices, np.float32),
+        np.asarray(mesh.triangles, np.int32),
+    )
+    from ipcgen_tpu.models import Indoor8LineLidarIntrinsics
+
+    intr32 = Indoor8LineLidarIntrinsics.create_dense_32line()
+    wps = [
+        Waypoint(1.0 + 4.0 * i / (WAYPOINTS - 1), 2.5, 1.0, 0.17 * i)
+        for i in range(WAYPOINTS)
+    ]
+    poses = waypoints_to_pose_batch(wps)
+    key = jax.random.PRNGKey(0)
+
+    def run_recon_scan():
+        return scan_waypoints(recon_asset, intr32, poses, key=key)
+
+    batch = run_recon_scan()
+    sync(batch.t)
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        batch = run_recon_scan()
+        sync(batch.t)
+        times.append(time.perf_counter() - t0)
+    n_rays = int(np.prod(batch.t.shape))
+    out["reconstructed_mesh_32line"] = {
+        "rays_per_sec": round(n_rays / min(times), 1),
+        "seconds": round(min(times), 4),
+        "rays": n_rays,
+        "mesh_faces": int(rstats["output_faces"]),
+        "hit_fraction": float(np.asarray(batch.mask).mean()),
+        "recon_seconds": round(rstats["reconstruction_time"], 2),
+    }
+
+    # --- 2. BLK2GO dual-axis production profile -------------------------
+    box_asset = build_scene_asset(verts, tris)
+    blk = DualAxisLidarIntrinsics.create_blk2go_dual_axis()
+    wps80 = [
+        Waypoint(1.0 + 4.0 * (i % 40) / 39.0, 1.5 + 2.0 * (i // 40), 1.0,
+                 0.157 * i)
+        for i in range(80)
+    ]
+    poses80 = waypoints_to_pose_batch(wps80)
+
+    def run_blk():
+        return scan_waypoints(
+            box_asset, blk, poses80, key=key, apply_range_noise=True
+        )
+
+    batch = run_blk()
+    sync(batch.t)
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        batch = run_blk()
+        sync(batch.t)
+        times.append(time.perf_counter() - t0)
+    n_rays = int(np.prod(batch.t.shape))
+    out["blk2go_dual_axis_80wp"] = {
+        "rays_per_sec": round(n_rays / min(times), 1),
+        "seconds": round(min(times), 4),
+        "rays": n_rays,
+        "hit_fraction": float(np.asarray(batch.mask).mean()),
+        "noise": "angle + dropout + range (production profile)",
+    }
+    return out
+
+
 # Embree on a modern server CPU traverses ~10-50 M rays/s/core for scenes of
 # this size; a 32-core socket bound of 50M x 32 = 1.6e9 rays/s is the most
 # generous stand-in for the reference engine WITHOUT its per-frame BVH
@@ -295,6 +418,10 @@ def main():
         extras = _extra_workloads()
     except Exception as e:
         extras = {"error": str(e)}
+    try:
+        production = _production_workloads()
+    except Exception as e:
+        production = {"error": str(e)}
 
     baseline_rps = None
     try:
@@ -311,12 +438,19 @@ def main():
     except Exception:
         baseline_rps = None
 
-    vs_baseline = (
-        result["rays_per_sec"] / baseline_rps if baseline_rps else None
-    )
+    # Headline = the RECONSTRUCTED-mesh scan (production geometry: the
+    # reference engine scans reconstruction outputs, not boxes) when it
+    # measured; the subdivided-box number stays in details for r02
+    # comparability.
+    headline = result["rays_per_sec"]
+    metric = "rays_per_sec_per_chip_32line_scan"
+    if isinstance(production.get("reconstructed_mesh_32line"), dict):
+        headline = production["reconstructed_mesh_32line"]["rays_per_sec"]
+        metric = "rays_per_sec_per_chip_32line_scan_recon_mesh"
+    vs_baseline = headline / baseline_rps if baseline_rps else None
     out = {
-        "metric": "rays_per_sec_per_chip_32line_scan",
-        "value": round(result["rays_per_sec"], 1),
+        "metric": metric,
+        "value": round(headline, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "details": {
@@ -325,9 +459,11 @@ def main():
                 f"{result['tris']} triangles"
             ),
             "room_scan_seconds": round(result["seconds"], 4),
+            "box_mesh_rays_per_sec": round(result["rays_per_sec"], 1),
             "platform": result["platform"],
             "backend": result["backend"],
             "hit_fraction": round(result["hit_fraction"], 4),
+            "production_workloads": production,
             "baseline": "numpy 2-level culled raycaster on host CPU (measured)",
             "baseline_rays_per_sec": round(baseline_rps, 1) if baseline_rps else None,
             "embree_socket_bound_rays_per_sec": EMBREE_SOCKET_BOUND_RPS,
