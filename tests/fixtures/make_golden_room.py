@@ -125,6 +125,11 @@ def main(out_root: Path | None = None) -> Path:
     )
 
     # Write annotation files + the combined room txt ------------------
+    _write_room(rng, instances, room_dir, ann_dir, "office_1")
+    return root
+
+
+def _write_room(rng, instances, room_dir, ann_dir, room_name):
     all_rows = []
     for name, pts in instances.items():
         cls = name.rsplit("_", 1)[0]
@@ -139,10 +144,88 @@ def main(out_root: Path | None = None) -> Path:
     # Shuffle so the room txt ordering is not annotation-grouped (as in the
     # real dataset exports).
     room = room[rng.permutation(len(room))]
-    np.savetxt(room_dir / "office_1.txt", room, fmt="%.3f %.3f %.3f %d %d %d")
+    np.savetxt(room_dir / f"{room_name}.txt", room,
+               fmt="%.3f %.3f %.3f %d %d %d")
     print(f"golden room: {len(room)} points -> {room_dir}")
+
+
+def _rot_z(pts, yaw_deg, center):
+    """Rotate points about the z axis through ``center``."""
+    c, s = np.cos(np.deg2rad(yaw_deg)), np.sin(np.deg2rad(yaw_deg))
+    r = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    center = np.asarray(center, float)
+    return (pts - center) @ r.T + center
+
+
+def main_l(out_root: Path | None = None) -> Path:
+    """Concave L-shaped room with ROTATED furniture (VERDICT r2 item 5).
+
+    Real S3DIS rooms (hallways, auditoria — s3dis_data_loader.py:25-66
+    parses arbitrary rooms) are concave with obliquely placed furniture;
+    the axis-aligned golden office never stresses the slab-test /
+    candidate-list machinery or the trajectory planner's concave-corner
+    handling.  Footprint: the union of lobes (0..6, 0..3) and
+    (0..2.5, 3..5); every furniture box is yawed off-axis.
+    """
+    rng = np.random.default_rng(SEED + 1)
+    root = out_root or Path(__file__).parent / "golden_room_l"
+    room_dir = root / "Area_2" / "lounge_1"
+    ann_dir = room_dir / "Annotations"
+    ann_dir.mkdir(parents=True, exist_ok=True)
+
+    H = 2.4
+    instances = {}
+
+    # L-shaped floor/ceiling: two rectangular lobes.
+    lobes = [
+        (np.zeros(3), [6.0, 0, 0], [0, 3.0, 0]),
+        ([0, 3.0, 0], [2.5, 0, 0], [0, 2.0, 0]),
+    ]
+    fl, ce = [], []
+    for o, u, v in lobes:
+        o = np.asarray(o, float)
+        u = np.asarray(u, float)
+        v = np.asarray(v, float)
+        fl.append(_rect(rng, _n_for(u, v), o, u, v))
+        ce.append(_rect(rng, _n_for(u, v), o + [0, 0, H], u, v))
+    instances["floor_1"] = np.vstack(fl)
+    instances["ceiling_1"] = np.vstack(ce)
+
+    # Six walls along the concave boundary (counter-clockwise):
+    # (0,0)->(6,0)->(6,3)->(2.5,3)->(2.5,5)->(0,5)->(0,0)
+    corners = [(0, 0), (6, 0), (6, 3), (2.5, 3), (2.5, 5), (0, 5)]
+    for k in range(6):
+        x0, y0 = corners[k]
+        x1, y1 = corners[(k + 1) % 6]
+        o = np.array([x0, y0, 0.0])
+        u = np.array([x1 - x0, y1 - y0, 0.0])
+        v = np.array([0.0, 0.0, H])
+        instances[f"wall_{k + 1}"] = _rect(rng, _n_for(u, v), o, u, v)
+
+    # Rotated furniture: sample axis-aligned box surfaces, then yaw them
+    # about their own center so every face is oblique.
+    def rotated_box(lo, hi, yaw):
+        pts = _box_surface(rng, lo, hi, faces="no_bottom")
+        center = (np.asarray(lo, float) + hi) / 2.0
+        return _rot_z(pts, yaw, center)
+
+    instances["table_1"] = rotated_box([1.4, 0.9, 0.0], [2.6, 1.6, 0.74], 27.0)
+    instances["chair_1"] = rotated_box([1.55, 0.25, 0.0], [2.0, 0.7, 0.85], 27.0)
+    instances["sofa_1"] = rotated_box([4.4, 1.6, 0.0], [5.8, 2.4, 0.75], -38.0)
+    instances["bookcase_1"] = rotated_box(
+        [0.5, 3.6, 0.0], [0.9, 4.8, 1.9], 12.0
+    )
+    instances["chair_2"] = rotated_box([3.6, 0.5, 0.0], [4.05, 0.95, 0.85], 63.0)
+    # Wall-mounted board on the inner (concave) wall x = 2.5.
+    instances["board_1"] = _rect(
+        rng, _n_for([0, 1.2, 0], [0, 0, 0.9]),
+        [2.47, 3.3, 0.9], [0, 1.2, 0], [0, 0, 0.9],
+    )
+
+    _write_room(rng, instances, room_dir, ann_dir, "lounge_1")
     return root
 
 
 if __name__ == "__main__":
     main()
+    main_l()

@@ -37,6 +37,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 FIXTURE = Path(__file__).parent / "fixtures" / "golden_room"
 SCENE = "Area_1_office_1"
 
+# Two checked-in rooms (VERDICT r2 item 5): the axis-aligned office and a
+# concave L-shaped lounge with rotated (oblique) furniture — real S3DIS
+# rooms are arbitrary concave polygons (s3dis_data_loader.py:25-66), and
+# the slab-test/candidate machinery plus the trajectory planner's concave
+# corner handling must survive the same five-stage format assertions.
+ROOMS = {
+    "office": {
+        "fixture": FIXTURE,
+        "area": "Area_1",
+        "room": "office_1",
+        "scene": "Area_1_office_1",
+        "room_hi": np.array([4.5, 3.5, 3.0]),
+        "cover_hi": np.array([3.7, 2.7, 2.1]),
+    },
+    "lounge_l": {
+        "fixture": Path(__file__).parent / "fixtures" / "golden_room_l",
+        "area": "Area_2",
+        "room": "lounge_1",
+        "scene": "Area_2_lounge_1",
+        "room_hi": np.array([6.5, 5.5, 3.0]),
+        "cover_hi": np.array([5.5, 4.5, 2.1]),
+    },
+}
+
 
 # ---------------------------------------------------------------------------
 # Reference-reader reimplementation (byte-walk of
@@ -79,9 +103,9 @@ def reference_read_labeled_ply(path):
     return {"header": header_lines, "xyz": xyz, "sem": sem, "ins": ins}
 
 
-@pytest.fixture(scope="module")
-def golden(tmp_path_factory):
-    """Run all five stages once through the file interfaces."""
+@pytest.fixture(scope="module", params=list(ROOMS))
+def golden(request, tmp_path_factory):
+    """Run all five stages once per room through the file interfaces."""
     from run_pipeline import main as pipeline_main
 
     from ipcgen_tpu.bbox.cli import main_lidar_net
@@ -90,15 +114,17 @@ def golden(tmp_path_factory):
     from ipcgen_tpu.eval.evaluate import find_best_match, write_evaluation_report
     from ipcgen_tpu.io.ply import write_labeled_ply
 
-    root = tmp_path_factory.mktemp("golden")
+    rc = ROOMS[request.param]
+    scene = rc["scene"]
+    root = tmp_path_factory.mktemp(f"golden_{request.param}")
     out_root = root / "outputs"
     sim_root = root / "simulation_results"
 
     cfg = PipelineConfig()
-    cfg.data.data_root = str(FIXTURE)
+    cfg.data.data_root = str(rc["fixture"])
     cfg.data.output_root = str(out_root)
-    cfg.data.area_name = "Area_1"
-    cfg.data.room_name = "office_1"
+    cfg.data.area_name = rc["area"]
+    cfg.data.room_name = rc["room"]
     cfg.nksr.voxel_size = 0.08
     cfg.nksr.chunked = False
     cfg.preprocessing.normal_search_radius = 0.3
@@ -116,17 +142,17 @@ def golden(tmp_path_factory):
     report = pipeline_main(
         ["--config", str(cfg_path), "--stages", "preprocess,recon,sim,bbox"]
     )
-    entry = report["rooms"][SCENE]
+    entry = report["rooms"][scene]
     assert "error" not in entry, entry
 
-    scene_dir = sim_root / SCENE
+    scene_dir = sim_root / scene
     labeled_ply = scene_dir / "combined_pointcloud_with_label.ply"
 
     # LiDAR-Net branch: the reference's LiDAR-Net tool consumes real
     # LiDAR-Net PLYs (semantic ids 15..23).  Build one from the fixture
     # annotations through the repo's labeled-PLY writer, then run the tool
     # on it — exercising writer -> reference-format -> instance extraction.
-    ann_dir = FIXTURE / "Area_1" / "office_1" / "Annotations"
+    ann_dir = rc["fixture"] / rc["area"] / rc["room"] / "Annotations"
     pts_list, rgb_list, sem_list, ins_list = [], [], [], []
     for cls, sem_id in LIDAR_NET_SEMANTIC_MAPPING.items():
         for k, f in enumerate(sorted(ann_dir.glob(f"{cls}_*.txt")), start=1):
@@ -152,7 +178,7 @@ def golden(tmp_path_factory):
     )
 
     # Evaluation: the simulated cloud vs the "real" LiDAR-Net scene dir.
-    eval_dir = root / "evaluation_results" / SCENE
+    eval_dir = root / "evaluation_results" / scene
     eval_dir.mkdir(parents=True)
     result = find_best_match(str(labeled_ply), str(ln_root), 4000, 0.9, 10)
     assert result is not None, "no volume-compatible evaluation candidate"
@@ -160,10 +186,12 @@ def golden(tmp_path_factory):
     write_evaluation_report(result, str(eval_txt), elapsed=1.0)
 
     return {
+        "room": rc,
+        "scene": scene,
         "out_root": out_root,
         "scene_dir": scene_dir,
         "labeled_ply": labeled_ply,
-        "recon_dir": out_root / "reconstruction_results" / SCENE,
+        "recon_dir": out_root / "reconstruction_results" / scene,
         "ln_ply": ln_ply,
         "ln_results": ln_results,
         "ln_bboxes": ln_bboxes,
@@ -177,7 +205,7 @@ def golden(tmp_path_factory):
 # ---------------------------------------------------------------------------
 def test_golden_all_stage_artifacts_exist(golden):
     assert (golden["out_root"] / "preprocessed"
-            / f"{SCENE}_preprocessed.pkl").exists()
+            / f"{golden['scene']}_preprocessed.pkl").exists()
     assert (golden["recon_dir"] / "mesh_dense.ply").exists()
     assert (golden["recon_dir"] / "mesh_dense.json").exists()
     sd = golden["scene_dir"]
@@ -190,7 +218,7 @@ def test_golden_all_stage_artifacts_exist(golden):
         "simulation_statistics.txt",
         "simulation_summary.txt",
         "trajectory_analysis.json",
-        f"{SCENE}_detection_annotations.json",
+        f"{golden['scene']}_detection_annotations.json",
     ):
         assert (sd / name).exists(), f"missing {name}"
 
@@ -206,7 +234,7 @@ def test_golden_labeled_ply_reference_byte_walk(golden):
     assert n > 5000
     # Points lie inside the golden room (+ small noise/recon slack).
     lo, hi = data["xyz"].min(axis=0), data["xyz"].max(axis=0)
-    assert np.all(lo > -0.5) and np.all(hi < np.array([4.5, 3.5, 3.0]))
+    assert np.all(lo > -0.5) and np.all(hi < golden["room"]["room_hi"])
     # Semantic ids come from the S3DIS 13-class table; the fixture contains
     # floor/ceiling/wall/window/table/chair/sofa/bookcase/board instances.
     valid_ids = set(S3DIS_CLASS_IDS.values())
@@ -311,7 +339,7 @@ def _check_detection_json(path, dataset_name):
 
 def test_golden_s3dis_detection_json_schema(golden):
     doc = _check_detection_json(
-        golden["scene_dir"] / f"{SCENE}_detection_annotations.json", "S3DIS"
+        golden["scene_dir"] / f"{golden['scene']}_detection_annotations.json", "S3DIS"
     )
     found = {a["original_class_name"] for a in doc["annotations"]}
     # The fixture furniture all passes the quality gates.
@@ -360,7 +388,7 @@ def test_golden_summary_txt_layout(golden):
     assert lines[0] == "S3DIS Simulation Results Summary"
     assert lines[1] == "=" * 50
     for pat in (
-        rf"^Scene name: {SCENE}$",
+        rf"^Scene name: {golden['scene']}$",
         r"^Total frames: \d+$",
         r"^Total points: [\d,]+$",
         r"^Average coverage: \d+\.\d{3}$",
@@ -457,7 +485,7 @@ def test_golden_reconstruction_covers_room(golden):
     lo = np.asarray(mesh.vertices).min(axis=0)
     hi = np.asarray(mesh.vertices).max(axis=0)
     assert np.all(lo < [0.3, 0.3, 0.3])
-    assert np.all(hi > [3.7, 2.7, 2.1])
+    assert np.all(hi > golden["room"]["cover_hi"])
 
 
 def test_golden_statistics_values_sane(golden):
