@@ -103,12 +103,12 @@ print(f"PARITY_OK hits={int(hp.sum())}/{n}")
 """
 
 
-def test_pallas_hardware_parity_vs_oracle():
+def _run_on_chip(script):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", script],
         capture_output=True,
         text=True,
         timeout=900,
@@ -118,4 +118,113 @@ def test_pallas_hardware_parity_vs_oracle():
     if "NOTPU" in proc.stdout:
         pytest.skip("no TPU attached")
     assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
+    return proc
+
+
+def test_pallas_hardware_parity_vs_oracle():
+    proc = _run_on_chip(_SCRIPT)
     assert "PARITY_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
+
+
+# ---------------------------------------------------------------------------
+# Degenerate + oblique geometry fuzz ON THE REAL MXU (VERDICT r2 item 6):
+# the bf16x3 near-edge sign robustness is the kernel's riskiest numeric
+# claim, and the CPU fuzz (tests/test_raycast_mxu.py) only exercises the
+# interpreter.  Same contract as the CPU fuzz plus the 5 mm / 99 % world-
+# point bound of the parity test, on non-axis-aligned geometry.
+# ---------------------------------------------------------------------------
+_FUZZ_SCRIPT = r"""
+import numpy as np
+import jax
+
+if jax.default_backend() != "tpu":
+    print("NOTPU")
+    raise SystemExit(0)
+
+from ipcgen_tpu.containers import TriMesh
+from ipcgen_tpu.ops.raycast import raycast_asset
+from ipcgen_tpu.ops.scene_asset import build_scene_asset
+from ipcgen_tpu.utils.host import to_host
+
+failures = []
+for seed in (1, 2, 3):
+    rng = np.random.default_rng(seed)
+
+    # Obliquely ROTATED cluttered room: nothing axis-aligned survives.
+    room = TriMesh.box(center=(2, 1.5, 1.25), size=(4, 3, 2.5), inward=True)
+    vs, ts = [room.vertices], [room.triangles]
+    off = len(room.vertices)
+    for _ in range(5):
+        c = rng.uniform([0.6, 0.6, 0.2], [3.4, 2.4, 1.0])
+        b = TriMesh.box(center=tuple(c), size=tuple(rng.uniform(0.2, 0.8, 3)))
+        vs.append(b.vertices)
+        ts.append(b.triangles + off)
+        off += len(b.vertices)
+    verts = np.concatenate(vs).astype(np.float32)
+    tris = np.concatenate(ts).astype(np.int32)
+    # Arbitrary rotation (QR of a random matrix) about the scene center.
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    q = q.astype(np.float32) * np.float32(np.sign(np.linalg.det(q)))
+    center = verts.mean(axis=0)
+    verts = (verts - center) @ q.T + center
+
+    # Degenerate injections: slivers, duplicates, zero-area.
+    nv = len(verts)
+    base = rng.uniform(0.5, 3.0, (24, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.4, (24, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.4, (24, 3)).astype(np.float32)
+    e1[0] = 0
+    e2[1] = e1[1]
+    e1[2] *= 1e-6
+    base[3], e1[3], e2[3] = base[4], e1[4], e2[4]
+    dverts = np.concatenate([base, base + e1, base + e2]).astype(np.float32)
+    dtris = np.arange(72, dtype=np.int32).reshape(3, 24).T + nv
+    verts = np.concatenate([verts, dverts])
+    tris = np.concatenate([tris, dtris])
+    asset = build_scene_asset(verts, tris)
+
+    n = 4096
+    origins = np.tile(center.astype(np.float32), (n, 1))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # Grazing rays along a rotated wall plane.
+    wall_n = q @ np.array([0, 0, 1], np.float32)
+    graze = np.cross(wall_n, rng.normal(size=3)).astype(np.float32)
+    dirs[:16] = graze / np.linalg.norm(graze)
+
+    res_m = raycast_asset(origins, dirs, asset, backend="mxu", t_max=20.0)
+    res_o = raycast_asset(origins, dirs, asset, backend="xla_brute",
+                          t_max=20.0)
+    hm, ho = to_host(res_m.hit), to_host(res_o.hit)
+    agree = (hm == ho).mean()
+    if agree < 0.99:
+        failures.append(f"seed {seed}: hit agreement {agree}")
+        continue
+    both = hm & ho
+    same = both & (np.asarray(res_m.tri_id) == np.asarray(res_o.tri_id))
+    if same.sum() / max(both.sum(), 1) < 0.99:
+        failures.append(
+            f"seed {seed}: same-tri {same.sum() / both.sum():.4f}"
+        )
+    pe = np.linalg.norm(
+        np.asarray(res_m.points)[both] - np.asarray(res_o.points)[both],
+        axis=1,
+    )
+    if np.percentile(pe, 99) > 0.005 or pe.max() > 0.05:
+        failures.append(
+            f"seed {seed}: point err p99={np.percentile(pe, 99):.4f} "
+            f"max={pe.max():.4f}"
+        )
+    if not np.all(np.isfinite(np.asarray(res_m.points)[hm])):
+        failures.append(f"seed {seed}: non-finite hit points")
+
+if failures:
+    print("FUZZ_FAIL: " + "; ".join(failures))
+    raise SystemExit(1)
+print("FUZZ_OK")
+"""
+
+
+def test_mxu_hardware_fuzz_degenerate_oblique():
+    proc = _run_on_chip(_FUZZ_SCRIPT)
+    assert "FUZZ_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
