@@ -297,9 +297,12 @@ def _production_workloads():
     out = {}
 
     # --- 1. reconstructed mesh ------------------------------------------
+    # ~500k-point TLS cloud at voxel 0.04 lands near the pipeline's real
+    # production output (~460k faces/room, docs/BENCHMARKS.md) — the mesh
+    # scale the reference engine actually traverses.
     verts, tris = synthetic_room(BENCH_TRIS)
-    pts, normals = _sample_tls_cloud(verts, tris, n_points=1_500_000)
-    recon = SurfaceReconstructor(voxel_size=0.03, mise_iter=1)
+    pts, normals = _sample_tls_cloud(verts, tris, n_points=500_000)
+    recon = SurfaceReconstructor(voxel_size=0.04, mise_iter=1)
     mesh, rstats = recon.reconstruct(pts, normals)
     recon_asset = build_scene_asset(
         np.asarray(mesh.vertices, np.float32),

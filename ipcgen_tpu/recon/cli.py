@@ -113,9 +113,13 @@ def reconstruct_room(
             else:
                 entry["quality_metrics"] = {}
             results[name] = entry
+            span_txt = " ".join(
+                f"{k}={v:.1f}" for k, v in stats.get("spans", {}).items()
+            )
             print(
                 f"[Recon] {name}: {stats['input_points']} pts -> "
-                f"{stats['output_faces']} faces in {stats['reconstruction_time']:.2f}s"
+                f"{stats['output_faces']} faces in "
+                f"{stats['reconstruction_time']:.2f}s ({span_txt})"
             )
         except Exception as e:
             results[name] = {"error": str(e)}

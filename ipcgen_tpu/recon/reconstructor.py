@@ -85,34 +85,49 @@ class SurfaceReconstructor:
             normals = estimate_normals(points, radius=4 * self.voxel_size, max_nn=30)
         normals = np.asarray(normals, dtype=np.float32)
 
+        spans: Dict[str, float] = {}
+        t0 = time.time()
         if self.chunked and self._needs_chunking(points):
             soup = self._reconstruct_chunked_soup(points, normals)
+            spans["fuse_and_march"] = time.time() - t0
         else:
             grid = fuse_point_normal_sdf(
                 points, normals, voxel_size=self.voxel_size,
                 splat_radius=self.splat_radius,
             )
+            spans["fuse"] = time.time() - t0
+            t0 = time.time()
             soup, _ = marching_tetrahedra(grid, min_weight=self.min_weight)
+            spans["march"] = time.time() - t0
 
+        t0 = time.time()
         verts, tris = weld_triangle_soup(soup)
+        spans["weld"] = time.time() - t0
         if self.mise_iter > 0 and len(verts):
             from ipcgen_tpu.ops.sdf import imls_project_vertices
 
+            t0 = time.time()
             verts = imls_project_vertices(
                 verts, points, normals,
                 radius=1.5 * self.voxel_size, iters=self.mise_iter,
             )
+            spans["imls"] = time.time() - t0
         mesh = TriMesh(vertices=verts, triangles=tris)
+        t0 = time.time()
         self._orient_faces(mesh, points, normals)
+        spans["orient"] = time.time() - t0
 
         if colors is not None and mesh.num_vertices > 0:
+            t0 = time.time()
             mesh.vertex_colors = self._transfer_colors(mesh, points, colors)
+            spans["colors"] = time.time() - t0
 
         stats = {
             "input_points": len(points),
             "output_vertices": mesh.num_vertices,
             "output_faces": mesh.num_triangles,
             "reconstruction_time": time.time() - start,
+            "spans": {k: round(v, 3) for k, v in spans.items()},
             "has_colors": mesh.vertex_colors is not None,
             "device_used": self._device_name(),
             "voxel_size": self.voxel_size,

@@ -246,7 +246,15 @@ class S3DISSimulator:
         # — the reference itself derives the angle from the points
         # (raycast_engine_cpu.py:99-109), and t = |p - o| for unit rays.
         # Over the remote tunnel this saves several seconds per room.
+        from ipcgen_tpu.utils.host import sync as _sync
+
+        t0 = time.time()
+        _sync(batch.t)  # completion barrier: device scan execution
+        sim_scene.profile["scan_exec"] = time.time() - t0
+        t0 = time.time()
         all_points, all_mask = batch.points_and_mask()
+        sim_scene.profile["d2h"] = time.time() - t0
+        t0 = time.time()
         origins = np.stack([w.to_pose_matrix()[:3, 3] for w in waypoints])
 
         for i in range(len(waypoints)):
@@ -285,6 +293,7 @@ class S3DISSimulator:
                 S3DISSimFrame(i, points, incident_angles, scan_quality)
             )
 
+        sim_scene.profile["frame_build"] = time.time() - t0
         simulation_time = time.time() - start_time
         sim_scene.compute_statistics(simulation_time)
         # Per-kernel throughput counter (SURVEY.md §5.1: the TPU equivalent
@@ -392,9 +401,14 @@ class S3DISSimulator:
         off in async mode (matplotlib is not thread-safe). The pending future
         is attached as ``sim_scene.save_future``.
         """
+        t0 = time.time()
         self.load_scene(scene_path, scene_name)
+        t1 = time.time()
         waypoints, analysis_info = self.generate_auto_trajectory(num_waypoints)
+        t2 = time.time()
         sim_scene = self.run_simulation(waypoints)
+        sim_scene.profile["load_scene"] = t1 - t0
+        sim_scene.profile["trajectory"] = t2 - t1
         if output_dir is None:
             output_dir = Path("s3dis_auto_simulation_results")
         output_dir = Path(output_dir)

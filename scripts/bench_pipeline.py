@@ -120,6 +120,7 @@ def main():
     from ipcgen_tpu.sim.simulator import run_single_scene_simulation
 
     stage_times = {"preprocess": [], "recon": [], "sim": [], "bbox": []}
+    sim_profiles = []
     room_times = []
     for room in rooms:
         t_room = time.time()
@@ -137,7 +138,7 @@ def main():
         stage_times["recon"].append(time.time() - t0)
         t0 = time.time()
         scene_name = f"Area_1_{room}"
-        run_single_scene_simulation(
+        sim_scene = run_single_scene_simulation(
             scene_path=str(work / "outputs" / "reconstruction_results"
                            / scene_name / "mesh_dense.ply"),
             scene_name=scene_name,
@@ -150,6 +151,11 @@ def main():
             save_visualizations=False,
         )
         stage_times["sim"].append(time.time() - t0)
+        sim_profiles.append(dict(sim_scene.profile))
+        prof = " ".join(
+            f"{k}={v:.1f}" for k, v in sorted(sim_scene.profile.items())
+        )
+        print(f"  sim sub-spans: {prof}", flush=True)
         t0 = time.time()
         from ipcgen_tpu.bbox.detection import S3DISBBoxVisualizer
 
@@ -172,6 +178,18 @@ def main():
         "stage_seconds_steady": {
             k: round(float(np.mean(v[1:] if len(v) > 1 else v)), 1)
             for k, v in stage_times.items()
+        },
+        # Sim-stage sub-spans (steady = mean over rooms 2+): scan_exec is
+        # the device scan, d2h the tunnel transfer, label_* the annotation
+        # load + on-device 1-NN transfer, export_* the PLY/stats writes.
+        "sim_subspans_steady": {
+            k: round(
+                float(np.mean([
+                    p.get(k, 0.0)
+                    for p in (sim_profiles[1:] or sim_profiles)
+                ])), 2,
+            )
+            for k in sorted({k for p in sim_profiles for k in p})
         },
     }
     print(json.dumps(out))
