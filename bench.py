@@ -416,6 +416,28 @@ def main():
         print("CPU_BASELINE " + json.dumps(result))
         return
 
+    # Fail fast (with bounded retries) instead of hanging forever when the
+    # remote TPU tunnel is down — jax.devices() has no connect timeout.
+    from ipcgen_tpu.utils.device_probe import wait_for_device
+
+    platform = wait_for_device(max_wait_s=1800.0)
+    if platform is None:
+        print(json.dumps({
+            "metric": "rays_per_sec_per_chip_32line_scan_recon_mesh",
+            "value": None,
+            "unit": "rays/s",
+            "vs_baseline": None,
+            "details": {
+                "error": (
+                    "device runtime unreachable: jax failed to initialize "
+                    "within 30 min of bounded subprocess probes (remote TPU "
+                    "tunnel down). No measurement was possible; see "
+                    "BENCH_r02.json for the last recorded figures."
+                ),
+            },
+        }))
+        return
+
     result = _measure("auto", num_waypoints=WAYPOINTS)
     try:
         extras = _extra_workloads()

@@ -87,6 +87,15 @@ def main():
     ap.add_argument("--waypoints", type=int, default=20)
     args = ap.parse_args()
 
+    from ipcgen_tpu.utils.device_probe import probe_device
+
+    platform = probe_device()
+    if platform is None:
+        print(json.dumps({"error": "device runtime unreachable (tunnel "
+                          "down); aborting instead of hanging"}))
+        raise SystemExit(2)
+    print(f"device probe ok: {platform}", flush=True)
+
     work = Path(args.workdir)
     if work.exists():
         shutil.rmtree(work)
