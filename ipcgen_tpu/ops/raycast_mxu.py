@@ -50,9 +50,11 @@ quantization — but watertight; the asserted hardware contract
 within 5 mm worst case (p99 2.4 mm; sensor range noise is 20 mm), and
 >= 99% identical winning triangles (the rest are crease-edge ties).
 
-Tiles with more candidates than VMAX (e.g. fully incoherent rays) degrade
-gracefully: the kernel walks ALL blocks for that tile (identity candidate
-list), so results stay exact at brute-force speed.
+Tiles with more candidates than vmax (e.g. fully incoherent rays) degrade
+gracefully: the fori-loop kernel walks ALL blocks for that tile (identity
+candidate list), so results stay exact at brute-force speed.  vmax is sized
+so only genuinely incoherent tiles ever take that path — and the "auto"
+ray sort regroups those workloads before they reach it.
 """
 
 from __future__ import annotations
@@ -560,7 +562,13 @@ def _key_const(t: float) -> int:
 # ---------------------------------------------------------------------------
 # Flat pair-grid kernel
 # ---------------------------------------------------------------------------
-PAIR_BUDGET = 64  # aggregate pair capacity per tile for one flat dispatch
+# Aggregate pair capacity per tile for one flat dispatch.  The flat grid is
+# DYNAMIC (outer = ceil(n_steps/_INNER)), so unused capacity costs only the
+# pair-list scatter arrays (cap int32 entries) — while an exhausted budget
+# demotes whole tiles to the fori fallback, which walks their lists at the
+# serial-DMA per-pair cost.  At 640 k tris the mean list length is ~4x the
+# 160 k room's ~24, so a budget of 64 spilled roughly half the tiles.
+PAIR_BUDGET = 256
 
 
 _INNER = 2048  # static inner grid extent of the flat pair dispatch
@@ -901,7 +909,13 @@ def raycast_mxu_components(
     # keeps its own VMAX-entry SMEM table; unhandled tiles whose lists
     # exceed it are demoted to walk-all there (rare by construction).
     gmax = 96 if nb <= 2048 else (128 if nb <= 8192 else 192)
-    vmax = VMAX if nb <= 2048 else min(768, nb)
+    # vmax is generous at EVERY scene size: a tile whose list exceeds vmax
+    # walks ALL blocks in the fori fallback, and on the 160 k-tri bench
+    # room the ~13 straggler tiles (partial patches, mixed directions,
+    # lists of ~300-600 blocks) cost ~60 ms there versus ~10 ms as plain
+    # flat-path pairs.  The only vmax cost is the prepass compaction slice
+    # width — the sort already runs over the full gmax*group candidates.
+    vmax = min(768, nb)
     if nb >= (1 << 27):
         raise ValueError(
             f"mxu backend packs block ids with {N_SUB}-bit subtile masks; "
