@@ -26,9 +26,11 @@ from ipcgen_tpu.utils.json_utils import NumpyEncoder
 
 def _transfer_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     """1-NN for label/color transfer: exact for small problems, grid-hashed
-    above ~10^10 pairwise distances (ops.grid_nn; near-exact on surface data
-    and ~4x faster at room scale)."""
-    if len(queries) * len(refs) > 1e10:
+    above the platform's exact-join pair budget (ops.grid_nn; near-exact on
+    surface data and ~4x faster at room scale)."""
+    from ipcgen_tpu.ops.knn import exact_pair_budget
+
+    if len(queries) * len(refs) > exact_pair_budget():
         from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
 
         # cap=24 gathers half the candidate bytes of the default with the

@@ -106,6 +106,20 @@ def _nn_1_padded(
     return idx.reshape(nq), d2.reshape(nq)
 
 
+def exact_pair_budget() -> float:
+    """Pair-count budget above which callers should prefer the grid-hashed
+    NN (ops.grid_nn) over the exact tiled join.
+
+    The exact join's cost is queries x refs: on TPU the MXU sustains ~10^10
+    pairs in a couple of seconds, but the CPU backend manages ~10^8/s — the
+    test suite was spending minutes in exact joins (orient/IMLS at ~4x10^9
+    pairs) that the grid path resolves in seconds at equal quality.
+    """
+    import jax
+
+    return 1e10 if jax.default_backend() == "tpu" else 2e8
+
+
 def nearest_neighbor_indices(
     queries, refs, q_block: int = 1024, r_block: int = 32768
 ) -> np.ndarray:

@@ -178,10 +178,13 @@ def imls_project_vertices(
     if len(v) == 0 or len(points) == 0 or iters <= 0:
         return v
 
-    if len(points) > 150_000:
-        # Same threshold as preprocessing: the grid-hashed k-NN finds the
-        # within-radius neighbours this projection needs at a fraction of
-        # the exact join's cost (vertex counts reach ~1.4 M per room).
+    from ipcgen_tpu.ops.knn import exact_pair_budget
+
+    if len(v) * len(points) > exact_pair_budget():
+        # The grid-hashed k-NN finds the within-radius neighbours this
+        # projection needs at a fraction of the exact join's queries x refs
+        # cost (vertex counts reach ~1.4 M per room; the CPU test suite was
+        # paying ~20 s per exact IMLS pass at only 2x10^9 pairs).
         from ipcgen_tpu.ops.grid_nn import knn_grid
 
         def _knn(q, r, k):

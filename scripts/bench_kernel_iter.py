@@ -33,6 +33,59 @@ def patch_ordered_scan_rays(num_waypoints=20, r=128_000, lines=32):
     return origins, dirs
 
 
+def _sharded_vs_fused(asset, args):
+    """Identical 20-waypoint scan through scan_waypoints (fused single-chip)
+    and scan_waypoints_sharded on a 1-device mesh: the delta is pure
+    shard_map + collective-combine overhead (VERDICT r2 directive 4's bench
+    note).  On one device the all_gather/argmin combine is degenerate, so
+    this bounds the sharding machinery's cost, not ICI time."""
+    import jax
+    import numpy as np
+
+    from ipcgen_tpu.models import Indoor8LineLidarIntrinsics
+    from ipcgen_tpu.parallel.shard import (
+        make_device_mesh,
+        scan_waypoints_sharded,
+    )
+    from ipcgen_tpu.sim.scan import scan_waypoints
+    from ipcgen_tpu.trajectory import Waypoint
+    from ipcgen_tpu.trajectory.waypoint import waypoints_to_pose_batch
+    from ipcgen_tpu.utils.host import sync
+
+    intr = Indoor8LineLidarIntrinsics.create_dense_32line()
+    wps = [
+        Waypoint(1.0 + 4.0 * i / max(args.waypoints - 1, 1), 2.5, 1.0,
+                 0.17 * i)
+        for i in range(args.waypoints)
+    ]
+    poses = waypoints_to_pose_batch(wps)
+    key = jax.random.PRNGKey(0)
+    mesh1 = make_device_mesh(1)
+
+    results = {}
+    for name, fn in (
+        ("fused", lambda: scan_waypoints(asset, intr, poses, key=key)),
+        ("sharded_1dev", lambda: scan_waypoints_sharded(
+            asset, intr, poses, mesh1, key=key)),
+    ):
+        batch = fn()
+        sync(batch.t)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(args.reps):
+                batch = fn()
+            sync(batch.t)
+            times.append((time.time() - t0) / args.reps)
+        n_rays = int(np.prod(np.asarray(batch.t.shape)))
+        dt = min(times)
+        results[name] = (dt, n_rays / dt)
+        print(f"{name}: {dt*1e3:.1f} ms -> {n_rays/dt/1e6:.2f} M rays/s")
+    delta = results["sharded_1dev"][0] - results["fused"][0]
+    print(f"sharded-vs-fused single-chip delta: {delta*1e3:+.1f} ms "
+          f"({delta / results['fused'][0] * 100:+.1f}%)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=160_000)
@@ -41,6 +94,13 @@ def main():
     ap.add_argument("--incoherent", action="store_true")
     ap.add_argument("--sort", action="store_true")
     ap.add_argument("--backend", default="mxu")
+    ap.add_argument(
+        "--sharded", action="store_true",
+        help="run the full scan through scan_waypoints_sharded on a "
+        "1-device mesh vs the fused single-chip scan_waypoints — the "
+        "sharded-vs-fused delta (shard_map + collective overhead) on "
+        "identical work",
+    )
     args = ap.parse_args()
 
     import jax
@@ -53,6 +113,10 @@ def main():
     verts, tris = synthetic_room(args.tris)
     asset = build_scene_asset(verts, tris)
     print(f"mesh: {len(tris)} tris, {asset.num_blocks} blocks")
+
+    if args.sharded:
+        _sharded_vs_fused(asset, args)
+        return
 
     if args.incoherent:
         rng = np.random.default_rng(0)
