@@ -942,11 +942,16 @@ def raycast_mxu_components(
     # usual reason a tile is unhandled is counts == 0, whose correct
     # result is a plain miss).
     ts, slots = [], []
+    # Interpret mode walks the FULL static pair capacity (it cannot take a
+    # traced grid extent), so the generous production budget would 4x the
+    # CPU tests' dead-step walk; the small budget just routes spill tiles
+    # to the fori fallback, which is equally exact.
+    pair_budget = 64 if interpret else PAIR_BUDGET
     for s in range(0, n_tiles, MEGA):
         e = min(s + MEGA, n_tiles)
         # Round the pair capacity to the flat kernel's _INNER grid extent:
         # its index_maps read pair entries up to ceil(ns/_INNER)*_INNER-1.
-        cap = -(-(e - s) * PAIR_BUDGET // _INNER) * _INNER
+        cap = -(-(e - s) * pair_budget // _INNER) * _INNER
         tiles_c, blocks_c, masks_c, n_steps, handled = _build_pair_list(
             ids[:, s:e], counts[s:e], ovf[s:e], submasks[:, s:e], cap
         )
