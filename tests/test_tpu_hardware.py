@@ -103,7 +103,24 @@ print(f"PARITY_OK hits={int(hp.sum())}/{n}")
 """
 
 
+_PROBED = None
+
+
+def _chip_available() -> bool:
+    """One bounded probe per session: with the remote tunnel down, a chip
+    subprocess hangs in jax.devices() until its 900 s timeout — 2 tests x
+    900 s of dead suite time.  probe_device bounds that to 90 s total."""
+    global _PROBED
+    if _PROBED is None:
+        from ipcgen_tpu.utils.device_probe import probe_device
+
+        _PROBED = probe_device(timeout_s=90.0) == "tpu"
+    return _PROBED
+
+
 def _run_on_chip(script):
+    if not _chip_available():
+        pytest.skip("no TPU attached (or device runtime unreachable)")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
