@@ -54,7 +54,7 @@ class ScanBatch(NamedTuple):
             np.asarray(self.incident_angles[w])[m],
         )
 
-    def points_and_mask(self):
+    def points_and_mask(self, quantized: bool = False):
         """Minimal host export: (points (W,R,3), mask (W,R)) in one pull.
 
         Incident angles and sensor ranges are exact functions of
@@ -62,10 +62,45 @@ class ScanBatch(NamedTuple):
         (sim/simulator.py collect_scan) skip ~40% of the device->host
         transfer by deriving them host-side — the reference's own angle
         formula works from the points too (raycast_engine_cpu.py:99-109).
+
+        ``quantized=True`` transfers the points as uint16 offsets against
+        the batch's own bounding box (one device reduction) and dequantizes
+        host-side: 6 bytes/point instead of 12 with a worst-case rounding
+        error of span/65535 per axis (~0.2 mm for indoor rooms) — two
+        orders below the sensor's 20 mm range-noise sigma and the 5 mm
+        hardware parity contract.  Worth it only when the device link is a
+        remote tunnel whose D2H bandwidth dominates the sim stage.
         """
         from ipcgen_tpu.utils.host import to_host
 
-        return np.asarray(self.points), to_host(self.mask)
+        if not quantized:
+            return np.asarray(self.points), to_host(self.mask)
+
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _quantize(points, mask):
+            m3 = mask[..., None]
+            big = jnp.float32(3e38)
+            lo = jnp.min(jnp.where(m3, points, big), axis=(0, 1))
+            hi = jnp.max(jnp.where(m3, points, -big), axis=(0, 1))
+            lo = jnp.where(lo > hi, 0.0, lo)  # no hits at all
+            hi = jnp.where(lo > hi, 0.0, hi)
+            scale = jnp.maximum(hi - lo, 1e-6) / 65535.0
+            q = jnp.clip(
+                jnp.round((points - lo) / scale), 0.0, 65535.0
+            ).astype(jnp.uint16)
+            return q, lo, scale
+
+        q, lo, scale = _quantize(self.points, self.mask)
+        mask = to_host(self.mask)
+        q = np.asarray(q)
+        lo = np.asarray(lo)
+        scale = np.asarray(scale)
+        return (
+            q.astype(np.float32) * scale[None, None, :] + lo[None, None, :],
+            mask,
+        )
 
     def to_numpy(self, with_ranges: bool = False):
         """One bulk device->host transfer of (points, angles, mask[, t]).

@@ -285,3 +285,18 @@ def test_sensor_range_stats_exposed(room_ply, tmp_path):
     assert q.range_mean > 0  # world-norm quirk preserved
     d = q.to_dict()
     assert "sensor_range_mean" in d and "sensor_range_std" in d
+
+
+def test_points_and_mask_quantized_matches_exact(box_room):
+    """The uint16-quantized D2H path dequantizes within span/65535 per axis
+    (~0.2 mm indoors) — far below the 5 mm hardware parity contract."""
+    asset = build_scene_asset(box_room.vertices, box_room.triangles,
+                              block_size=8)
+    poses = waypoints_to_pose_batch(
+        [Waypoint(2.0, 1.5, 1.0, 0.0), Waypoint(1.0, 1.0, 1.0, np.pi / 4)]
+    )
+    batch = scan_waypoints(asset, _small_8line(), poses, backend="xla")
+    p0, m0 = batch.points_and_mask()
+    p1, m1 = batch.points_and_mask(quantized=True)
+    assert (m0 == m1).all()
+    assert np.abs(p1[m0] - p0[m0]).max() < 5e-4
