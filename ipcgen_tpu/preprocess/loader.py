@@ -181,11 +181,17 @@ def preprocess_room(
     """
     loader = S3DISLoader(data_root)
     preproc = S3DISPreprocessor(config, seed=seed)
+    spans: Dict[str, float] = {}
     t0 = time.time()
+    ts = time.time()
     points, colors, labels = loader.load_room_data(area_name, room_name)
+    spans["load"] = time.time() - ts
+    ts = time.time()
     points, colors, labels, normals = preproc.preprocess_pointcloud(
         points, colors, labels
     )
+    spans["outliers_normals"] = time.time() - ts
+    ts = time.time()
 
     room_data: Dict = {
         "area": area_name,
@@ -220,14 +226,18 @@ def preprocess_room(
             "config": sp_cfg,
         }
 
+    spans["variants"] = time.time() - ts
     room_data["preprocess_time"] = time.time() - t0
+    room_data["spans"] = {k: round(v, 3) for k, v in spans.items()}
     if output_dir is not None:
+        ts = time.time()
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         pkl = out / f"{area_name}_{room_name}_preprocessed.pkl"
         with open(pkl, "wb") as f:
             pickle.dump(room_data, f)
         room_data["output_path"] = str(pkl)
+        room_data["spans"]["pickle"] = round(time.time() - ts, 3)
     return room_data
 
 

@@ -139,6 +139,10 @@ def main():
             output_dir=str(work / "outputs" / "preprocessed"), seed=0,
         )
         stage_times["preprocess"].append(time.time() - t0)
+        pre_spans = " ".join(
+            f"{k}={v:.1f}" for k, v in rd.get("spans", {}).items()
+        )
+        print(f"  preprocess sub-spans: {pre_spans}", flush=True)
         t0 = time.time()
         reconstruct_room(
             rd["output_path"], cfg.to_dict(),
