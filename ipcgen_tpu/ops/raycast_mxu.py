@@ -72,8 +72,10 @@ from ipcgen_tpu.ops.scene_asset import SceneAsset
 
 TILE = 1024  # rays per kernel instance
 N_SUB = 4  # subtiles per tile: flat-kernel pairs skip unmasked 256-ray rows
-VMAX = 256  # compacted candidate blocks per tile (overflow -> walk all)
-MEGA = 512  # tiles per pallas_call (bounds the SMEM candidate table)
+VMAX = 256  # fori-fallback SMEM candidate-table width per tile
+MEGA = 256  # tiles per pallas_call (bounds the SMEM candidate/pair tables:
+#             the flat kernel's scalar-prefetched pair arrays cost
+#             3 * MEGA * PAIR_BUDGET * 4 B of SMEM — keep ~400 KB)
 _BIG = 3.0e38
 _RING = 4  # panel DMA ring depth (three copies in flight ahead of compute)
 _EPS_T_BITS = int(np.float32(1e-6).view(np.int32))  # t > 1e-6, int domain
@@ -568,7 +570,11 @@ def _key_const(t: float) -> int:
 # demotes whole tiles to the fori fallback, which walks their lists at the
 # serial-DMA per-pair cost.  At 640 k tris the mean list length is ~4x the
 # 160 k room's ~24, so a budget of 64 spilled roughly half the tiles.
-PAIR_BUDGET = 256
+# The ceiling is SMEM: the pair arrays are scalar-prefetched, so
+# 3 * MEGA * PAIR_BUDGET int32s must stay well under the ~1 MB scalar
+# memory — the budget raise is paid for by halving MEGA, keeping the same
+# ~400 KB footprint the round-2 kernel already compiled with.
+PAIR_BUDGET = 128
 
 
 _INNER = 2048  # static inner grid extent of the flat pair dispatch

@@ -89,6 +89,9 @@ def _sharded_vs_fused(asset, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=160_000)
+    ap.add_argument("--block-size", type=int, default=128,
+                    help="triangles per leaf block (finer blocks cull "
+                    "tighter per pair at more pairs + fixed per-step cost)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--waypoints", type=int, default=20)
     ap.add_argument("--incoherent", action="store_true")
@@ -111,8 +114,9 @@ def main():
 
     print(f"backend: {jax.default_backend()}")
     verts, tris = synthetic_room(args.tris)
-    asset = build_scene_asset(verts, tris)
-    print(f"mesh: {len(tris)} tris, {asset.num_blocks} blocks")
+    asset = build_scene_asset(verts, tris, block_size=args.block_size)
+    print(f"mesh: {len(tris)} tris, {asset.num_blocks} blocks "
+          f"(block_size={args.block_size})")
 
     if args.sharded:
         _sharded_vs_fused(asset, args)
