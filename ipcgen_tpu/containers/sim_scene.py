@@ -25,21 +25,10 @@ from ipcgen_tpu.utils.json_utils import NumpyEncoder
 
 
 def _transfer_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
-    """1-NN for label/color transfer: exact for small problems, grid-hashed
-    above the platform's exact-join pair budget (ops.grid_nn; near-exact on
-    surface data and ~4x faster at room scale)."""
-    from ipcgen_tpu.ops.knn import exact_pair_budget
+    """1-NN for label/color transfer (budget-gated exact/grid dispatch)."""
+    from ipcgen_tpu.ops.knn import nearest_neighbor_auto
 
-    if len(queries) * len(refs) > exact_pair_budget():
-        from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
-
-        # cap=24 gathers half the candidate bytes of the default with the
-        # same exact-match rate on surface clouds (measured 0.980 both ways,
-        # 6.8s vs 9.5s at 2.56M x 630k).
-        return nearest_neighbor_indices_grid(queries, refs, cap=24)
-    from ipcgen_tpu.ops.knn import nearest_neighbor_indices
-
-    return nearest_neighbor_indices(queries, refs)
+    return nearest_neighbor_auto(queries, refs)
 
 
 @dataclass
@@ -330,7 +319,12 @@ class S3DISSimScene:
         combined_colors, combined_sem, combined_ins = (
             self._get_colors_and_labels_from_s3dis(combined_points)
         )
-        self.profile["label_transfer"] = time.time() - t0
+        # The callee records the cold-cache annotation disk load as
+        # label_load (same call, first room use) — subtract it so the
+        # sub-spans are disjoint and sum to the stage.
+        self.profile["label_transfer"] = (
+            time.time() - t0 - self.profile.get("label_load", 0.0)
+        )
         colors_255 = (combined_colors * 255).astype(np.uint8)
         t0 = time.time()
         write_labeled_ply(

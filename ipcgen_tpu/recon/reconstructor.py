@@ -29,17 +29,10 @@ from ipcgen_tpu.ops.sdf import fuse_point_normal_sdf
 
 
 def _surface_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
-    """Surface-to-surface 1-NN: grid-hashed above the platform's exact-join
-    pair budget (mesh vertices/centroids lie on the surface the input points
-    sample, so the hashed cells resolve essentially every query), exact
-    tiled otherwise."""
-    from ipcgen_tpu.ops.knn import exact_pair_budget, nearest_neighbor_indices
+    """Surface-to-surface 1-NN (budget-gated exact/grid dispatch)."""
+    from ipcgen_tpu.ops.knn import nearest_neighbor_auto
 
-    if len(queries) * len(refs) > exact_pair_budget():
-        from ipcgen_tpu.ops.grid_nn import nearest_neighbor_indices_grid
-
-        return nearest_neighbor_indices_grid(queries, refs, cap=24)
-    return nearest_neighbor_indices(queries, refs)
+    return nearest_neighbor_auto(queries, refs)
 
 
 class SurfaceReconstructor:

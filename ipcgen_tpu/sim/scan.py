@@ -26,6 +26,23 @@ from ipcgen_tpu.ops.raycast import raycast_asset
 from ipcgen_tpu.ops.scene_asset import SceneAsset
 
 
+@jax.jit
+def _quantize_points(points, mask):
+    """uint16-quantize hit points against their own bounding box (module
+    level so the jit cache is shared across ScanBatch instances)."""
+    m3 = mask[..., None]
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(m3, points, big), axis=(0, 1))
+    hi = jnp.max(jnp.where(m3, points, -big), axis=(0, 1))
+    lo = jnp.where(lo > hi, 0.0, lo)  # no hits at all
+    hi = jnp.where(lo > hi, 0.0, hi)
+    scale = jnp.maximum(hi - lo, 1e-6) / 65535.0
+    q = jnp.clip(
+        jnp.round((points - lo) / scale), 0.0, 65535.0
+    ).astype(jnp.uint16)
+    return q, lo, scale
+
+
 class ScanBatch(NamedTuple):
     """Fixed-shape multi-waypoint scan result (device arrays)."""
 
@@ -76,23 +93,7 @@ class ScanBatch(NamedTuple):
         if not quantized:
             return np.asarray(self.points), to_host(self.mask)
 
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _quantize(points, mask):
-            m3 = mask[..., None]
-            big = jnp.float32(3e38)
-            lo = jnp.min(jnp.where(m3, points, big), axis=(0, 1))
-            hi = jnp.max(jnp.where(m3, points, -big), axis=(0, 1))
-            lo = jnp.where(lo > hi, 0.0, lo)  # no hits at all
-            hi = jnp.where(lo > hi, 0.0, hi)
-            scale = jnp.maximum(hi - lo, 1e-6) / 65535.0
-            q = jnp.clip(
-                jnp.round((points - lo) / scale), 0.0, 65535.0
-            ).astype(jnp.uint16)
-            return q, lo, scale
-
-        q, lo, scale = _quantize(self.points, self.mask)
+        q, lo, scale = _quantize_points(self.points, self.mask)
         mask = to_host(self.mask)
         q = np.asarray(q)
         lo = np.asarray(lo)

@@ -24,15 +24,21 @@ _PROBE = (
 )
 
 
-def probe_device(timeout_s: float = 120.0):
+def probe_device(timeout_s: float = 120.0, env=None):
     """Return the default platform name ("tpu"/"cpu"/...) or None if the
-    runtime fails to initialize within ``timeout_s`` (dead tunnel)."""
+    runtime fails to initialize within ``timeout_s`` (dead tunnel).
+
+    ``env`` overrides the subprocess environment — callers running under a
+    platform-forcing harness (e.g. the test suite exports
+    ``JAX_PLATFORMS=cpu``) must strip those variables or the probe reports
+    the forced platform instead of the hardware's."""
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE],
             capture_output=True,
             text=True,
             timeout=timeout_s,
+            env=env,
         )
     except subprocess.TimeoutExpired:
         return None

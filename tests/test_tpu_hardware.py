@@ -114,7 +114,13 @@ def _chip_available() -> bool:
     if _PROBED is None:
         from ipcgen_tpu.utils.device_probe import probe_device
 
-        _PROBED = probe_device(timeout_s=90.0) == "tpu"
+        # The suite harness exports JAX_PLATFORMS=cpu (tests/conftest.py);
+        # the probe must see the hardware's platform, same env scrub as
+        # _run_on_chip below.
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        _PROBED = probe_device(timeout_s=90.0, env=env) == "tpu"
     return _PROBED
 
 
