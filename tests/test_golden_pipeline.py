@@ -125,7 +125,12 @@ def golden(request, tmp_path_factory):
     cfg.data.output_root = str(out_root)
     cfg.data.area_name = rc["area"]
     cfg.data.room_name = rc["room"]
-    cfg.nksr.voxel_size = 0.08
+    # 0.12 keeps full five-stage format parity (none of the golden
+    # assertions depend on mesh resolution) at ~half the CPU wall time of
+    # 0.08: the 40-waypoint sim scans the recon mesh, so its cost scales
+    # with the face count.  Reconstruction QUALITY at production voxels is
+    # asserted separately (tests/test_downstream_fidelity.py at 0.04/0.02).
+    cfg.nksr.voxel_size = 0.12
     cfg.nksr.chunked = False
     cfg.preprocessing.normal_search_radius = 0.3
     cfg.simulation.num_waypoints = 5
