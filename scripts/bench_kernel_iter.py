@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--block-size", type=int, default=128,
                     help="triangles per leaf block (finer blocks cull "
                     "tighter per pair at more pairs + fixed per-step cost)")
+    ap.add_argument("--pair-budget", type=int, default=None,
+                    help="override raycast_mxu.PAIR_BUDGET for tuning")
+    ap.add_argument("--mega", type=int, default=None,
+                    help="override raycast_mxu.MEGA (tiles per dispatch); "
+                    "keep 3*mega*pair_budget*4B within SMEM")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--waypoints", type=int, default=20)
     ap.add_argument("--incoherent", action="store_true")
@@ -113,6 +118,14 @@ def main():
     from ipcgen_tpu.utils.host import sync
 
     print(f"backend: {jax.default_backend()}")
+    if args.pair_budget or args.mega:
+        from ipcgen_tpu.ops import raycast_mxu as _rm
+
+        if args.pair_budget:
+            _rm.PAIR_BUDGET = args.pair_budget
+        if args.mega:
+            _rm.MEGA = args.mega
+        print(f"tuning: PAIR_BUDGET={_rm.PAIR_BUDGET} MEGA={_rm.MEGA}")
     verts, tris = synthetic_room(args.tris)
     asset = build_scene_asset(verts, tris, block_size=args.block_size)
     print(f"mesh: {len(tris)} tris, {asset.num_blocks} blocks "
