@@ -175,9 +175,12 @@ def marching_tetrahedra(grid: SdfGrid, min_weight: float = 1e-3,
     if len(ij) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
 
-    all_tris = []
-    all_ids = []
     origin = jnp.asarray(grid.origin)
+    # Dispatch every chunk before reading any count: fetching int(count)
+    # inside the loop serializes the device pipeline on one host RTT per
+    # chunk (~31 ms each over the remote tunnel); batching defers to a
+    # single stacked fetch.
+    pending = []
     for s in range(0, len(ij), chunk):
         part = ij[s : s + chunk]
         n_real = len(part)
@@ -196,10 +199,14 @@ def marching_tetrahedra(grid: SdfGrid, min_weight: float = 1e-3,
         ).astype(np.int32)
         row_valid = np.zeros(len(part), np.bool_)
         row_valid[:n_real] = True
-        tris_c, ids_c, count = _compact_soup(
+        pending.append(_compact_soup(
             tris, mask, jnp.asarray(flat_ids), jnp.asarray(row_valid)
-        )
-        n = int(count)
+        ))
+    counts = np.asarray(jnp.stack([p[2] for p in pending]))  # one fetch
+    all_tris = []
+    all_ids = []
+    for (tris_c, ids_c, _), n in zip(pending, counts):
+        n = int(n)
         if n == 0:
             continue
         # Download a bucketed prefix (few static shapes, cached programs).
