@@ -80,6 +80,7 @@ _BIG = 3.0e38
 _RING = 4  # panel DMA ring depth (three copies in flight ahead of compute)
 _EPS_T_BITS = int(np.float32(1e-6).view(np.int32))  # t > 1e-6, int domain
 _EPS_DEN_BITS = int(np.float32(1e-9).view(np.int32))  # |den| > 1e-9
+_EPS_T = 1e-6  # t > eps in the cross-multiplied domain: |num| > eps * |den|
 
 
 def _bf16_round(x: jnp.ndarray) -> jnp.ndarray:
@@ -177,8 +178,16 @@ def build_trif(tri_data: jnp.ndarray,
     # ~2^-16 relative error.  Every split negates exactly for the
     # neighbouring triangle's reversed edge, so the watertight
     # sign-consistency argument survives the splits.
+    #
+    # The panels are STORED as bf16: t_hi is exactly bf16-representable and
+    # the residual t - t_hi gets rounded to bf16 by the MXU passthrough
+    # anyway, so the cast changes nothing the matmul sees while halving the
+    # panel DMA per pair and the VMEM ring footprint.  (Exact negation of
+    # the shared-edge splits survives: bf16 rounding is sign-symmetric.)
     t_hi = _bf16_round(t)
-    return jnp.concatenate([t_hi, t - t_hi, t_hi], axis=1)  # (NB, 48, 5*TB)
+    return jnp.concatenate(
+        [t_hi, t - t_hi, t_hi], axis=1
+    ).astype(jnp.bfloat16)  # (NB, 48, 5*TB)
 
 
 def ray_features(origins: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
@@ -276,10 +285,12 @@ def _compact_ids(mask, vals):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_max", "vmax", "group", "gmax")
+    jax.jit,
+    static_argnames=("t_max", "vmax", "group", "gmax", "chunk1", "chunk2"),
 )
 def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
-                     vmax: int = VMAX, group: int = 8, gmax: int = 48):
+                     vmax: int = VMAX, group: int = 8, gmax: int = 48,
+                     chunk1: int = 8, chunk2: int = 4):
     """Per-tile candidate block lists via HIERARCHICAL exact slab tests.
 
     Round 2 slab-tested every ray against every leaf block: O(R x NB) with
@@ -329,7 +340,7 @@ def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
     ghi = jnp.nanmax(bhi_p[: ng * group].reshape(ng, group, 3), axis=1)
 
     # Stage 1: per-ray group slab, OR-reduced per tile.
-    mask_g = _tile_slab_or(o_t, d_t, glo, ghi, t_max, chunk=8)  # (T, NG)
+    mask_g = _tile_slab_or(o_t, d_t, glo, ghi, t_max, chunk=chunk1)  # (T, NG)
     gids = jnp.broadcast_to(jnp.arange(ng, dtype=jnp.int32), mask_g.shape)
     gids_sorted, counts_g = _compact_ids(mask_g, gids)
     overflow = counts_g > gmax
@@ -346,7 +357,7 @@ def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
     blo_g = blo_p[block_ids]  # (T, gmax*group, 3)
     bhi_g = bhi_p[block_ids]
     mask_s = _tile_slab_or(
-        o_t, d_t, blo_g, bhi_g, t_max, chunk=4, subtiles=N_SUB
+        o_t, d_t, blo_g, bhi_g, t_max, chunk=chunk2, subtiles=N_SUB
     )  # (T, N_SUB, gmax*group)
     bits = jnp.zeros(mask_s.shape[::2], jnp.int32)
     for s in range(N_SUB):
@@ -473,8 +484,9 @@ def _pairs_kernel(
         jnp.full((TILE, tb), init_key, jnp.int32),
         jnp.full((TILE, tb), 0, jnp.int32),
     )
-    f_hi = f.astype(jnp.bfloat16).astype(jnp.float32)
-    f_cat = jnp.concatenate([f_hi, f_hi, f - f_hi], axis=1)  # (TILE, 48)
+    f_hi = f.astype(jnp.bfloat16)
+    f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f_cat = jnp.concatenate([f_hi, f_hi, f_lo], axis=1)  # (TILE, 48) bf16
 
     def panel_dma(v, slot):
         return pltpu.make_async_copy(
@@ -581,8 +593,15 @@ _INNER = 2048  # static inner grid extent of the flat pair dispatch
 
 
 def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
-                 t_out, i_out, bk, bb, fc48, *, tb: int, t_init: float):
+                 t_out, i_out, bn, bd, bb, fc48, *, tb: int, t_init: float):
     """One grid step = one real (tile, candidate-block) pair.
+
+    (Negative result, measured on hardware: consuming TWO pair entries per
+    grid step through two independent panel BlockSpec streams — to amortize
+    the ~0.57 us fixed step cost — REGRESSED 1.88 -> 2.66 us/pair.  Two
+    block-indexed input streams defeat the Mosaic pipeliner's
+    revisiting-block copy elision and double the per-step DMA wait, which
+    costs more than the fixed overhead it saves.)
 
     The fori-loop kernel's measured per-pair cost decomposes additively:
     ~0.9 us of scalar-core DMA machinery (descriptor setup, semaphore
@@ -612,10 +631,19 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
     (subtile, block) pairs on the bench room; measured 1.60 -> 1.29
     us/pair).
 
-    The t ordering runs in the int32 domain (positive-float bit order):
-    one ``t > eps`` compare subsumes t<=0 / NaN / inf (their bit patterns
-    are negative or larger than any finite key), so no separate
-    denominator test is needed.
+    The division is DEFERRED: the per-lane running best is kept as a
+    positive (|t_num|, |t_den|) pair and the comparison
+    num1/den1 < num2/den2 runs as the cross-product num1*den2 < num2*den1
+    (valid for non-negative operands; an f32 divide costs ~an order of
+    magnitude more VPU issue slots than the two multiplies).  Invariants:
+    a stored den is always > 0 (a take with den = 0 would need
+    num*best_den < best_num*0 = 0, impossible for non-negatives), and the
+    init pair (t_init, 1) makes the t < t_max cap fall out of the same
+    compare.  The single divide runs once per TILE at the tile's last
+    pair, where the int32-ordered key reduction of the round-2 design
+    takes over.  The t >= 0 gate is a sign compare of num and den; the
+    t > eps gate is num > eps*den, which also rejects the 0/0 padding
+    lanes (0 > 0 fails) and plane-parallel near-zero denominators.
     """
     init_key = _key_const(t_init)
     i = pl.program_id(0) * _INNER + pl.program_id(1)
@@ -626,13 +654,14 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
 
     @pl.when(valid & (tile != prev))
     def _():
-        bk[:] = jnp.full_like(bk, init_key)
+        bn[:] = jnp.full_like(bn, t_init)
+        bd[:] = jnp.ones_like(bd)
         bb[:] = jnp.zeros_like(bb)
         f = f_ref[0]
-        h = f.astype(jnp.bfloat16).astype(jnp.float32)
+        h = f.astype(jnp.bfloat16)
         fc48[:, 0:16] = h
         fc48[:, 16:32] = h
-        fc48[:, 32:48] = f - h
+        fc48[:, 32:48] = (f - h.astype(jnp.float32)).astype(jnp.bfloat16)
 
     msk = masks_ref[i]
     sub = TILE // N_SUB
@@ -645,19 +674,26 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
             i0 = jax.lax.bitcast_convert_type(g[:, 0 * tb: 1 * tb], jnp.int32)
             i1 = jax.lax.bitcast_convert_type(g[:, 1 * tb: 2 * tb], jnp.int32)
             i2 = jax.lax.bitcast_convert_type(g[:, 2 * tb: 3 * tb], jnp.int32)
-            t = g[:, 3 * tb: 4 * tb] / g[:, 4 * tb: 5 * tb]
+            inum = jax.lax.bitcast_convert_type(
+                g[:, 3 * tb: 4 * tb], jnp.int32)
+            iden = jax.lax.bitcast_convert_type(
+                g[:, 4 * tb: 5 * tb], jnp.int32)
             ok = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-            tb_i = jax.lax.bitcast_convert_type(t, jnp.int32)
-            ok = ok & (tb_i > _EPS_T_BITS)
-            key = jnp.where(ok, tb_i, init_key)
-            best = bk[rows]
-            take = key < best
-            bk[rows] = jnp.where(take, key, best)
+            ok = ok & ((inum ^ iden) >= 0)  # t >= 0: num, den same sign
+            an = jax.lax.bitcast_convert_type(
+                inum & 0x7FFFFFFF, jnp.float32)
+            ad = jax.lax.bitcast_convert_type(
+                iden & 0x7FFFFFFF, jnp.float32)
+            ok = ok & (an > _EPS_T * ad)  # t > eps; rejects 0/0 padding
+            take = ok & (an * bd[rows] < bn[rows] * ad)
+            bn[rows] = jnp.where(take, an, bn[rows])
+            bd[rows] = jnp.where(take, ad, bd[rows])
             bb[rows] = jnp.where(take, blocks_ref[i], bb[rows])
 
     @pl.when(valid & ((i + 1 == ns) | (tiles_ref[i + 1] != tile)))
     def _():
-        best_key = bk[:]
+        t_best = bn[:] / bd[:]  # the tile's ONLY divide
+        best_key = jax.lax.bitcast_convert_type(t_best, jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, tb), 1)
         kmin = jnp.min(best_key, axis=1, keepdims=True)
         packed = bb[:] * tb + lane
@@ -714,9 +750,10 @@ def _flat_call(pair_tiles, pair_blocks, pair_masks, n_steps, f_tiles, trif,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, tb), jnp.int32),
-            pltpu.VMEM((TILE, tb), jnp.int32),
-            pltpu.VMEM((TILE, 48), jnp.float32),
+            pltpu.VMEM((TILE, tb), jnp.float32),  # bn: best |t_num|
+            pltpu.VMEM((TILE, tb), jnp.float32),  # bd: best |t_den| (> 0)
+            pltpu.VMEM((TILE, tb), jnp.int32),  # bb: best block id
+            pltpu.VMEM((TILE, 48), jnp.bfloat16),  # fc48: split ray feats
         ],
     )
     t, slot = pl.pallas_call(
@@ -809,7 +846,7 @@ def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
             jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_RING, 48, 5 * tb), jnp.float32),
+            pltpu.VMEM((_RING, 48, 5 * tb), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((_RING,)),
         ],
         interpret=interpret,
@@ -952,9 +989,21 @@ def raycast_mxu_components(
     # traced grid extent), so the generous production budget would 4x the
     # CPU tests' dead-step walk; the small budget just routes spill tiles
     # to the fori fallback, which is equally exact.
-    pair_budget = 64 if interpret else PAIR_BUDGET
-    for s in range(0, n_tiles, MEGA):
-        e = min(s + MEGA, n_tiles)
+    mega = MEGA
+    pair_budget = PAIR_BUDGET
+    if sort_rays:
+        # Sorted-incoherent tiles carry candidate lists an order of
+        # magnitude longer than scan tiles (a 1024-ray bundle of merely
+        # near-parallel rays still sweeps a frustum through the scene).
+        # Spilling them to the fori fallback forfeits the whole point of
+        # the sort, so trade chunk width for per-tile budget at the same
+        # 3 * mega * budget * 4 B SMEM footprint.
+        mega = MEGA // 4
+        pair_budget = PAIR_BUDGET * 4
+    if interpret:
+        pair_budget = 64
+    for s in range(0, n_tiles, mega):
+        e = min(s + mega, n_tiles)
         # Round the pair capacity to the flat kernel's _INNER grid extent:
         # its index_maps read pair entries up to ceil(ns/_INNER)*_INNER-1.
         cap = -(-(e - s) * pair_budget // _INNER) * _INNER

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--tris", type=int, default=160_000)
     ap.add_argument("--waypoints", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--prepass-sweep", action="store_true",
+                    help="sweep candidate_blocks chunk sizes and exit")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +69,19 @@ def main():
     group = 8 if nb <= 8192 else (16 if nb <= 32768 else 32)
     gmax = 96 if nb <= 2048 else (128 if nb <= 8192 else 192)
     vmax = min(768, nb)
+
+    if args.prepass_sweep:
+        for c1, c2 in ((8, 4), (16, 4), (16, 8), (32, 8), (32, 16),
+                       (64, 16), (64, 32)):
+            def pp(c1=c1, c2=c2):
+                return M.candidate_blocks(
+                    o, d, asset.block_lo, asset.block_hi, t_max=t_init,
+                    vmax=vmax, group=group, gmax=gmax,
+                    chunk1=c1, chunk2=c2)
+
+            dt, _ = timeit(pp, lambda out: sync(out[1]), args.reps)
+            print(f"prepass chunk1={c1:3d} chunk2={c2:3d}: {dt*1e3:7.1f} ms")
+        return
 
     # 1. prepass
     def prepass():

@@ -332,7 +332,12 @@ def test_fuzz_degenerate_geometry_vs_oracle(seed):
     assert (ho == hm).mean() > 0.98, (ho != hm).sum()
     both = ho & hm & (np.asarray(res_m.tri_id) == np.asarray(res_o.tri_id))
     if both.any():
+        # atol 5e-4: the hardware contract is 5 mm worst-case hit-point
+        # error; panels are STORED bf16 (the same rounding the MXU applies
+        # on hardware), so grazing slivers at tiny t carry ~1e-4 absolute
+        # wobble in interpret mode too.
         np.testing.assert_allclose(
-            np.asarray(res_m.t)[both], np.asarray(res_o.t)[both], rtol=1e-3
+            np.asarray(res_m.t)[both], np.asarray(res_o.t)[both],
+            rtol=1e-3, atol=5e-4,
         )
     assert np.all(np.isfinite(np.asarray(res_m.points)[hm]))
