@@ -259,11 +259,19 @@ def raycast_asset_xla_culled(
 
 
 def finalize_result(origins, dirs, t, packed_slot, asset: SceneAsset) -> RaycastResult:
-    """Map packed slots -> original ids, gather normals, compute hit points."""
+    """Map packed slots -> original ids, gather normals, compute hit points.
+
+    One (R, 4) gather from the packed ``tri_fin`` table resolves both the
+    normal and the original triangle id (random-access gathers are
+    row-count bound, so the fused table halves the finalize cost vs
+    separate tri_normal/tri_index lookups)."""
     hit = jnp.isfinite(t) & (packed_slot >= 0)
     slot = jnp.maximum(packed_slot, 0)
-    tri_id = jnp.where(hit, asset.tri_index[slot], -1)
-    normals = jnp.where(hit[:, None], asset.tri_normal[slot], 0.0)
+    fin = asset.tri_fin[slot]  # (R, 4): [normal xyz, bitcast(tri_index)]
+    tri_id = jnp.where(
+        hit, jax.lax.bitcast_convert_type(fin[:, 3], jnp.int32), -1
+    )
+    normals = jnp.where(hit[:, None], fin[:, :3], 0.0)
     t_safe = jnp.where(hit, t, 0.0)
     points = jnp.where(
         hit[:, None], origins + dirs * t_safe[:, None], 0.0

@@ -64,6 +64,10 @@ class SceneAsset:
         (-1 for padding).
     tri_normal : (NB * TB, 3) float32 — unit geometric normal per packed slot
         (Embree's ``primitive_normals`` equivalent, gathered per hit).
+    tri_fin : (NB * TB, 4) float32 — [normal xyz, bitcast(tri_index)] packed
+        so ``finalize_result`` resolves a hit with ONE per-ray gather
+        (random-access gathers over the tunnel-attached HBM are row-count
+        bound, so two tables cost twice one).
     n_tris / block_size / supers : static metadata.
     """
 
@@ -74,6 +78,7 @@ class SceneAsset:
     super_hi: jnp.ndarray
     tri_index: jnp.ndarray
     tri_normal: jnp.ndarray
+    tri_fin: jnp.ndarray
     n_tris: int
     block_size: int
     super_factor: int
@@ -88,6 +93,7 @@ class SceneAsset:
             self.super_hi,
             self.tri_index,
             self.tri_normal,
+            self.tri_fin,
         )
         aux = (self.n_tris, self.block_size, self.super_factor)
         return children, aux
@@ -196,6 +202,9 @@ def build_scene_asset(
     raw_n = np.cross(e1, e2)
     norm = np.linalg.norm(raw_n, axis=1, keepdims=True)
     tri_normal = (raw_n / np.maximum(norm, 1e-20)).astype(np.float32)
+    tri_fin = np.concatenate(
+        [tri_normal, tri_index.view(np.float32)[:, None]], axis=1
+    )
 
     # Leaf AABBs over real triangles only; fully-padded blocks get NaN boxes
     # (NaN comparisons are false -> the slab test can never pass).
@@ -242,6 +251,7 @@ def build_scene_asset(
         super_hi=jnp.asarray(sup_hi.astype(np.float32)),
         tri_index=jnp.asarray(tri_index),
         tri_normal=jnp.asarray(tri_normal),
+        tri_fin=jnp.asarray(tri_fin),
         n_tris=n_tris,
         block_size=block_size,
         super_factor=super_factor,

@@ -177,10 +177,18 @@ def _shard_asset_blocks(asset: SceneAsset, n_shards: int) -> SceneAsset:
         tri_normal = jnp.concatenate(
             [asset.tri_normal, jnp.zeros((pad * tb, 3), jnp.float32)]
         )
+        tri_fin = jnp.concatenate(
+            [
+                tri_normal,
+                jax.lax.bitcast_convert_type(tri_index, jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
     else:
         tri_data = asset.tri_data
         block_lo, block_hi = asset.block_lo, asset.block_hi
         tri_index, tri_normal = asset.tri_index, asset.tri_normal
+        tri_fin = asset.tri_fin
     # Rebuild supers over the padded block axis (NaN-aware: padded blocks
     # carry NaN AABBs, and all-NaN supers can never pass the slab test).
     ns_p = nb_p // sf
@@ -197,6 +205,7 @@ def _shard_asset_blocks(asset: SceneAsset, n_shards: int) -> SceneAsset:
         super_hi=sup_hi,
         tri_index=tri_index,
         tri_normal=tri_normal,
+        tri_fin=tri_fin,
         n_tris=asset.n_tris,
         block_size=tb,
         super_factor=sf,
@@ -282,46 +291,56 @@ def _sharded_scan_core(
 
     @jax.jit
     def core(asset, poses, dirs_sensor, keep, noise_key, perm, inv_perm):
-        dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)
-        origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
-        w, r, _ = dirs_world.shape
         # Raycast in patch-permuted order (sim/scan.py scan_permutation):
         # each chip's ray shard keeps the same angular tile coherence as the
-        # single-chip kernel.  Origins are constant per waypoint, so only
-        # the directions need reordering; results are restored below before
-        # noise so the noise stream matches the single-chip scan bit-exact.
+        # single-chip kernel.  As in sim/scan.py::_scan_core, the SENSOR
+        # pattern is permuted before the rotation (rotation commutes with a
+        # per-ray permutation), origins are never gathered, the noise
+        # stream is drawn in beam order and permuted, and every output is
+        # inverse-permuted exactly once — keeping the sharded scan
+        # bit-identical to the single-chip scan.
+        w = poses.shape[0]
+        r = dirs_sensor.shape[1]
+        dirs_sp = dirs_sensor[:, perm]  # (WB, R, 3), WB in {1, W}
+        dirs_wp = beams.dirs_to_world_batch(
+            jnp.broadcast_to(dirs_sp, (w, r, 3)), poses
+        )
+        origins = jnp.broadcast_to(poses[:, None, :3, 3], (w, r, 3))
         res = sharded_raycast_rays(
             origins.reshape(w * r, 3),
-            dirs_world[:, perm].reshape(w * r, 3), asset, mesh,
+            dirs_wp.reshape(w * r, 3), asset, mesh,
             axis=ray_axis, backend=backend, t_max=max_range,
             interpret=interpret,
         )
-        t = res.t.reshape(w, r)[:, inv_perm]
-        hit = res.hit.reshape(w, r)[:, inv_perm]
-        points = res.points.reshape(w, r, 3)[:, inv_perm]
-        normals = res.normals.reshape(w, r, 3)[:, inv_perm]
+        t = res.t.reshape(w, r)
+        hit = res.hit.reshape(w, r)
+        points = res.points.reshape(w, r, 3)
+        normals = res.normals.reshape(w, r, 3)
         if range_noise_std > 0.0:
             # Same semantics as the single-chip scan (sim/scan.py): sigma
-            # perturbs the measured distance before point reconstruction.
-            sigma = jax.random.normal(noise_key, t.shape) * range_noise_std
+            # perturbs the measured distance before point reconstruction,
+            # drawn in beam order for a bit-exact stream.
+            sigma = (
+                jax.random.normal(noise_key, (w, r)) * range_noise_std
+            )[:, perm]
             # Millimetre floor as in sim/scan.py: range noise must not
             # reconstruct points behind the sensor.
             t = jnp.where(hit, jnp.maximum(t + sigma, 1e-3), t)
-            points = origins + dirs_world * t[..., None]
-        mask = hit & keep & (t < max_range)
+            points = origins + dirs_wp * t[..., None]
+        mask = hit & jnp.broadcast_to(keep[:, perm], (w, r)) & (t < max_range)
         incident = jnp.degrees(
-            jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0))
+            jnp.arccos(jnp.clip(jnp.abs(dirs_wp[..., 2]), 0.0, 1.0))
         )
         incident = jnp.where(mask, incident, 0.0)
-        cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
+        cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_wp * normals, axis=-1)), 0.0, 1.0)
         true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
         return ScanBatch(
-            points=jnp.where(mask[..., None], points, 0.0),
-            t=jnp.where(mask, t, jnp.inf),
-            mask=mask,
-            incident_angles=incident,
-            normals=jnp.where(mask[..., None], normals, 0.0),
-            true_incidence=true_incidence,
+            points=jnp.where(mask[..., None], points, 0.0)[:, inv_perm],
+            t=jnp.where(mask, t, jnp.inf)[:, inv_perm],
+            mask=mask[:, inv_perm],
+            incident_angles=incident[:, inv_perm],
+            normals=jnp.where(mask[..., None], normals, 0.0)[:, inv_perm],
+            true_incidence=true_incidence[:, inv_perm],
         )
 
     return core

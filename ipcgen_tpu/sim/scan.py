@@ -128,9 +128,13 @@ class ScanBatch(NamedTuple):
 def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
     """Per-waypoint sensor-frame beam directions + keep masks.
 
-    Static profiles share one pattern across waypoints; the dual-axis scanner
-    re-rolls angle noise and dropout per waypoint (the reference constructs a
-    fresh lidar per waypoint, s3dis_simulator.py:256-257).
+    Returns ``(dirs (WB, R, 3), keep (WB, R))`` where WB is 1 for static
+    profiles (one pattern shared by every waypoint — returned UNBROADCAST
+    so the scan cores can fuse the waypoint broadcast into their jit
+    instead of materializing a (W, R, 3) copy on device) and
+    ``num_waypoints`` for the dual-axis scanner, which re-rolls angle noise
+    and dropout per waypoint (the reference constructs a fresh lidar per
+    waypoint, s3dis_simulator.py:256-257).
     """
     if isinstance(intrinsics, DualAxisLidarIntrinsics):
         if key is None:
@@ -162,9 +166,8 @@ def sensor_dirs_batch(intrinsics, num_waypoints: int, key: Optional[jax.Array]):
             dirs = beams.gen_vertical_degree_dirs(
                 intrinsics.vertical_degrees, intrinsics.horizontal_res
             )
-        dirs = jnp.broadcast_to(dirs[None], (num_waypoints,) + dirs.shape)
-        keep = jnp.ones(dirs.shape[:2], dtype=bool)
-        return dirs, keep
+        keep = jnp.ones((1, dirs.shape[0]), dtype=bool)
+        return dirs[None], keep
     raise ValueError(f"Unsupported LiDAR intrinsics type: {type(intrinsics)}")
 
 
@@ -248,50 +251,70 @@ def _scan_core(
     """The whole post-beam-gen scan as ONE compiled program: pose transform,
     ray permutation, raycast, range noise, range mask, and both incidence
     formulas fuse into a single dispatch (eager per-op dispatch over the
-    remote TPU link would otherwise dominate the kernel time)."""
-    dirs_world = beams.dirs_to_world_batch(dirs_sensor, poses)  # (W, R, 3)
-    origins = jnp.broadcast_to(poses[:, None, :3, 3], dirs_world.shape)
-    w, r, _ = dirs_world.shape
+    remote TPU link would otherwise dominate the kernel time).
+
+    Everything up to the final outputs runs in PATCH order: the sensor
+    pattern is permuted once (a (1, R, 3) gather for static profiles —
+    rotation commutes with a per-ray permutation), origins are a broadcast
+    of the pose translation (never gathered), the per-beam noise stream is
+    drawn in beam order and permuted so outputs stay bit-identical to the
+    beam-order formulation, and each output is inverse-permuted exactly
+    once at the end.  This halves the permutation gather traffic vs
+    permuting (W, R, 3) world rays forward and every result back.
+    """
+    w = poses.shape[0]
+    r = dirs_sensor.shape[1]
+    dirs_sp = dirs_sensor[:, perm]  # (WB, R, 3), WB in {1, W}
+    dirs_wp = beams.dirs_to_world_batch(
+        jnp.broadcast_to(dirs_sp, (w, r, 3)), poses
+    )  # (W, R, 3) patch order
+    origins = jnp.broadcast_to(poses[:, None, :3, 3], (w, r, 3))
     res = raycast_asset(
-        origins[:, perm].reshape(w * r, 3),
-        dirs_world[:, perm].reshape(w * r, 3),
+        origins.reshape(w * r, 3),
+        dirs_wp.reshape(w * r, 3),
         asset,
         backend=backend,
         t_max=max_range,
     )
-    t = res.t.reshape(w, r)[:, inv_perm]
-    hit = res.hit.reshape(w, r)[:, inv_perm]
-    points = res.points.reshape(w, r, 3)[:, inv_perm]
-    normals = res.normals.reshape(w, r, 3)[:, inv_perm]
+    t = res.t.reshape(w, r)
+    hit = res.hit.reshape(w, r)
+    points = res.points.reshape(w, r, 3)
+    normals = res.normals.reshape(w, r, 3)
 
     if range_noise_std > 0.0:
         # Sensor range noise: the profile's sigma perturbs the measured
         # distance BEFORE point reconstruction (the reference declares this
         # sigma, lidar/lidar_intrinsics.py:236, but never applies it —
         # resolved per SURVEY.md §7, behind a flag defaulting to parity/off).
-        sigma = jax.random.normal(noise_key, t.shape) * range_noise_std
+        # Drawn in beam order and permuted so the stream matches the
+        # beam-order formulation bit-exactly.
+        sigma = (
+            jax.random.normal(noise_key, (w, r)) * range_noise_std
+        )[:, perm]
         # Floor at a millimetre: for hits closer than ~3 sigma the Gaussian
         # could drive t negative and reconstruct the point behind the
         # sensor (a physical sensor saturates, it does not mirror).
         t = jnp.where(hit, jnp.maximum(t + sigma, 1e-3), t)
-        points = origins + dirs_world * t[..., None]
+        points = origins + dirs_wp * t[..., None]
 
-    mask = hit & keep & (t < max_range)
+    mask = hit & jnp.broadcast_to(keep[:, perm], (w, r)) & (t < max_range)
     # Reference formula: angle of the (unit) ray direction to vertical,
     # computed from normalized (point - center) == the ray direction.
-    incident = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(dirs_world[..., 2]), 0.0, 1.0)))
+    incident = jnp.degrees(
+        jnp.arccos(jnp.clip(jnp.abs(dirs_wp[..., 2]), 0.0, 1.0))
+    )
     incident = jnp.where(mask, incident, 0.0)
     # True incidence: angle between the ray and the surface normal.
-    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_world * normals, axis=-1)), 0.0, 1.0)
+    cos_true = jnp.clip(jnp.abs(jnp.sum(dirs_wp * normals, axis=-1)), 0.0, 1.0)
     true_incidence = jnp.where(mask, jnp.degrees(jnp.arccos(cos_true)), 0.0)
 
     return ScanBatch(
-        points=jnp.where(mask[..., None], points, 0.0),
-        t=jnp.where(mask, t, jnp.inf),
-        mask=mask,
-        incident_angles=incident,
-        normals=jnp.where(mask[..., None], normals, 0.0),
-        true_incidence=true_incidence,
+        points=jnp.where(mask[..., None], points, 0.0)[:, inv_perm],
+        t=jnp.where(mask, t, jnp.inf)[:, inv_perm],
+        mask=mask[:, inv_perm],
+        incident_angles=incident[:, inv_perm],
+        normals=jnp.where(mask[..., None], normals, 0.0)[:, inv_perm],
+        true_incidence=true_incidence[:, inv_perm],
     )
 
 
