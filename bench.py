@@ -53,7 +53,43 @@ def _build_workload(num_waypoints: int, horizontal_res: int = 4000):
     return asset, intr, poses, len(tris)
 
 
-def _measure(backend: str, num_waypoints: int, reps: int = 5,
+def _timed(run, leaf, reps: int = 3, queue: int = 4):
+    """Warm, then measure pipelined throughput and per-call latency.
+
+    Both measurements end in a forced host read (``utils/host.sync`` —
+    ``block_until_ready`` is NOT a completion barrier on the remote link,
+    the round-1 retraction), so both time EXECUTION.  They differ in what
+    they amortize: per-call syncs after every dispatch, charging the
+    tunnel's ~50 ms dispatch+read round trip to each call; pipelined
+    queues ``queue`` back-to-back calls and syncs once (a single-device
+    stream executes programs in order, so the last program's completion
+    implies the rest).  Production drives scans back-to-back (multi-room
+    batches, the sim driver's double-buffered export), so throughput
+    metrics quote the pipelined figure with per-call latency alongside.
+
+    Returns (pipelined_seconds_per_call, per_call_seconds, last_output).
+    """
+    from ipcgen_tpu.utils.host import sync
+
+    out = run()
+    sync(leaf(out))  # compile + warm
+    per_call = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run()
+        sync(leaf(out))
+        per_call.append(time.perf_counter() - t0)
+    piped = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(queue):
+            out = run()
+        sync(leaf(out))
+        piped.append((time.perf_counter() - t0) / queue)
+    return min(piped), min(per_call), out
+
+
+def _measure(backend: str, num_waypoints: int, reps: int = 3,
              horizontal_res: int = 4000) -> dict:
     import jax
 
@@ -65,22 +101,12 @@ def _measure(backend: str, num_waypoints: int, reps: int = 5,
     def run():
         return scan_waypoints(asset, intr, poses, key=key, backend=backend)
 
-    from ipcgen_tpu.utils.host import sync
-
-    batch = run()
-    sync(batch.t)  # compile + warm (sync: block_until_ready does NOT wait
-    # for execution on remote-attached devices — see utils/host.py)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        batch = run()
-        sync(batch.t)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt, dt_call, batch = _timed(run, lambda b: b.t, reps=reps)
     n_rays = int(np.prod(batch.t.shape))
     return {
         "rays": n_rays,
         "seconds": dt,
+        "per_call_seconds": dt_call,
         "rays_per_sec": n_rays / dt,
         "tris": n_tris,
         "waypoints": num_waypoints,
@@ -156,22 +182,13 @@ def _measure_raycast_direct(asset, origins, dirs, t_max, reps=5):
     def run():
         return _rc(o, d, asset, backend, float(t_max))
 
-    from ipcgen_tpu.utils.host import sync
-
-    res = run()
-    sync(res.t)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        res = run()
-        sync(res.t)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt, dt_call, res = _timed(run, lambda r: r.t, reps=min(reps, 3))
     from ipcgen_tpu.utils.host import to_host
 
     return {
         "rays": len(origins),
         "seconds": dt,
+        "per_call_seconds": dt_call,
         "rays_per_sec": len(origins) / dt,
         "hit_fraction": float(to_host(res.hit).mean()),
     }
@@ -205,18 +222,12 @@ def _measure_raycast_sorted(asset, origins, dirs, t_max, reps=5):
     def run():
         return _rc(o, d, asset, float(t_max), True)
 
-    res = run()
-    sync(res.t)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        res = run()
-        sync(res.t)
-        times.append(time.perf_counter() - t0)
+    dt, dt_call, res = _timed(run, lambda r: r.t, reps=min(reps, 3))
     return {
         "rays": len(origins),
-        "seconds": min(times),
-        "rays_per_sec": len(origins) / min(times),
+        "seconds": dt,
+        "per_call_seconds": dt_call,
+        "rays_per_sec": len(origins) / dt,
         "hit_fraction": float(to_host(res.hit).mean()),
     }
 
@@ -375,27 +386,21 @@ def _production_workloads():
     def run_recon_scan():
         return scan_waypoints(recon_asset, intr32, poses, key=key)
 
-    batch = run_recon_scan()
-    sync(batch.t)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        batch = run_recon_scan()
-        sync(batch.t)
-        times.append(time.perf_counter() - t0)
+    dt, dt_call, batch = _timed(run_recon_scan, lambda b: b.t)
     n_rays = int(np.prod(batch.t.shape))
     out["reconstructed_mesh_32line"] = {
-        "rays_per_sec": round(n_rays / min(times), 1),
-        "seconds": round(min(times), 4),
+        "rays_per_sec": round(n_rays / dt, 1),
+        "seconds": round(dt, 4),
+        "per_call_seconds": round(dt_call, 4),
         "rays": n_rays,
         "mesh_faces": int(rstats["output_faces"]),
         "hit_fraction": float(np.asarray(batch.mask).mean()),
         "recon_seconds": round(rstats["reconstruction_time"], 2),
         "workload_note": (
-            "r3 resized the TLS cloud 1.5M->500k pts (voxel 0.03->0.04) to "
-            "land ~460k faces — the pipeline's real per-room output; r2's "
-            "interim run measured a 705k-face overbuild, so rays_per_sec "
-            "is not same-workload comparable with that run."
+            "500k-pt TLS cloud at voxel 0.04 reconstructs to ~700k "
+            "marching-tet faces of this room's surface area — denser than "
+            "the pipeline's ~460k-face rooms, so this is the conservative "
+            "(harder) end of production geometry."
         ),
     }
 
@@ -414,18 +419,12 @@ def _production_workloads():
             box_asset, blk, poses80, key=key, apply_range_noise=True
         )
 
-    batch = run_blk()
-    sync(batch.t)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        batch = run_blk()
-        sync(batch.t)
-        times.append(time.perf_counter() - t0)
+    dt, dt_call, batch = _timed(run_blk, lambda b: b.t)
     n_rays = int(np.prod(batch.t.shape))
     out["blk2go_dual_axis_80wp"] = {
-        "rays_per_sec": round(n_rays / min(times), 1),
-        "seconds": round(min(times), 4),
+        "rays_per_sec": round(n_rays / dt, 1),
+        "seconds": round(dt, 4),
+        "per_call_seconds": round(dt_call, 4),
         "rays": n_rays,
         "hit_fraction": float(np.asarray(batch.mask).mean()),
         "noise": "angle + dropout + range (production profile)",
@@ -561,7 +560,12 @@ def main():
                 "jax.block_until_ready is not a completion barrier on the "
                 "remote-attached device link, so r01 timed dispatch, not "
                 "execution. All r02+ numbers use a forced host-read "
-                "barrier (utils/host.py sync; docs/BENCHMARKS.md)."
+                "barrier (utils/host.py sync; docs/BENCHMARKS.md). "
+                "r03+: throughput metrics queue back-to-back calls behind "
+                "ONE terminal barrier (in-order single-device stream), "
+                "amortizing the tunnel's ~50 ms per-dispatch round trip "
+                "the way production's multi-room batches do; the "
+                "per_call_seconds fields carry the unamortized latency."
             ),
         },
     }

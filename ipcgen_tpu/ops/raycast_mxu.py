@@ -959,6 +959,19 @@ def raycast_mxu_components(
     # flat-path pairs.  The only vmax cost is the prepass compaction slice
     # width — the sort already runs over the full gmax*group candidates.
     vmax = min(768, nb)
+    if sort_rays:
+        # Sorted-incoherent tiles cross most block GROUPS no matter how
+        # tight the sort gets (a bundle of near-parallel rays still sweeps
+        # a frustum through the whole room), so the stage-1 group cap that
+        # protects scan tiles marks EVERY incoherent tile overflowed and
+        # demotes it to the walk-all fallback — the sort then buys nothing
+        # (measured: ovf 256/256 on the bench room both sorted and
+        # unsorted, 0.5 M rays/s either way).  Sorted mode therefore opens
+        # the stage-1 cap to every group and widens the compacted list:
+        # sorted bench-room tiles carry ~470-650 exact candidates, an
+        # order of magnitude over scan tiles but 2.3x under walk-all.
+        gmax = min(-(-nb // group), 4 * gmax)
+        vmax = min(1024, nb)
     if nb >= (1 << 27):
         raise ValueError(
             f"mxu backend packs block ids with {N_SUB}-bit subtile masks; "
@@ -993,13 +1006,12 @@ def raycast_mxu_components(
     pair_budget = PAIR_BUDGET
     if sort_rays:
         # Sorted-incoherent tiles carry candidate lists an order of
-        # magnitude longer than scan tiles (a 1024-ray bundle of merely
-        # near-parallel rays still sweeps a frustum through the scene).
-        # Spilling them to the fori fallback forfeits the whole point of
-        # the sort, so trade chunk width for per-tile budget at the same
-        # 3 * mega * budget * 4 B SMEM footprint.
-        mega = MEGA // 4
-        pair_budget = PAIR_BUDGET * 4
+        # magnitude longer than scan tiles (~470-650 on the bench room vs
+        # ~25).  Spilling them to the fori fallback forfeits the whole
+        # point of the sort, so trade chunk width for per-tile budget at
+        # the same 3 * mega * budget * 4 B SMEM footprint.
+        mega = MEGA // 8
+        pair_budget = PAIR_BUDGET * 8
     if interpret:
         pair_budget = 64
     for s in range(0, n_tiles, mega):

@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
 
