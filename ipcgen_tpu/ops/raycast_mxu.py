@@ -72,6 +72,10 @@ from ipcgen_tpu.ops.scene_asset import SceneAsset
 
 TILE = 1024  # rays per kernel instance
 N_SUB = 4  # subtiles per tile: flat-kernel pairs skip unmasked 256-ray rows
+# (Negative result, measured on hardware: N_SUB = 8 — 128-ray subtiles —
+# regressed 1.90 -> 2.01 us/pair on the bench room despite culling more
+# rows; the fixed cost of eight pl.when branches per pair exceeds the
+# saved VPU work once most pairs touch a single subtile anyway.)
 VMAX = 256  # fori-fallback SMEM candidate-table width per tile
 MEGA = 256  # tiles per pallas_call (bounds the SMEM candidate/pair tables:
 #             the flat kernel's scalar-prefetched pair arrays cost
@@ -346,6 +350,18 @@ def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
     overflow = counts_g > gmax
 
     # Stage 2: per-ray slab against the candidate groups' blocks only.
+    #
+    # (Negative result, measured on hardware: replacing this dense
+    # sentinel-padded formulation — T x gmax x group box columns regardless
+    # of how many groups tiles cross, ~6x padding waste on the bench room —
+    # with a compacted (tile, group) pair list walked by a
+    # dynamic-trip-count while_loop in static chunks cut the slab
+    # arithmetic 6x but bought almost nothing: 33.9 -> 32.0 ms prepass on
+    # the bench room (the dense slabs fuse and stream at full bandwidth;
+    # the loop serializes chunks and re-gathers (chunk, TILE, 3) rays per
+    # step) and REGRESSED the sorted-incoherent path 2.24 -> 2.07 M rays/s
+    # (~150 groups/tile -> ~730 serialized steps).  The dense version is
+    # simpler and within noise of optimal here.)
     sent = ng  # sentinel group -> NaN blocks
     gsel = jnp.where(
         jnp.arange(gmax)[None, :] < counts_g[:, None],
@@ -364,11 +380,13 @@ def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
         bits = bits | (mask_s[:, s, :].astype(jnp.int32) << s)
     mask_b = bits > 0
     # Carry (block id, subtile bits) through one sort by packing; ids fit
-    # comfortably (nb < 2^27 at the int32 limit, checked by the caller).
-    packed_sorted, counts = _compact_ids(mask_b, block_ids * 16 + bits)
+    # comfortably (nb < 2^(31-N_SUB) at the int32 limit, caller-checked).
+    packed_sorted, counts = _compact_ids(
+        mask_b, (block_ids << N_SUB) | bits
+    )
     overflow = overflow | (counts > vmax)
-    ids_sorted = packed_sorted >> 4
-    masks_sorted = packed_sorted & 15
+    ids_sorted = packed_sorted >> N_SUB
+    masks_sorted = packed_sorted & ((1 << N_SUB) - 1)
     return (
         ids_sorted[:, :vmax].T,
         counts,
@@ -678,8 +696,9 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
                 g[:, 3 * tb: 4 * tb], jnp.int32)
             iden = jax.lax.bitcast_convert_type(
                 g[:, 4 * tb: 5 * tb], jnp.int32)
-            ok = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-            ok = ok & ((inum ^ iden) >= 0)  # t >= 0: num, den same sign
+            # One fused sign test: barycentric signs agree AND num/den
+            # share a sign (t >= 0) — a single or-tree and one compare.
+            ok = ((i0 ^ i1) | (i0 ^ i2) | (inum ^ iden)) >= 0
             an = jax.lax.bitcast_convert_type(
                 inum & 0x7FFFFFFF, jnp.float32)
             ad = jax.lax.bitcast_convert_type(
@@ -972,10 +991,10 @@ def raycast_mxu_components(
         # order of magnitude over scan tiles but 2.3x under walk-all.
         gmax = min(-(-nb // group), 4 * gmax)
         vmax = min(1024, nb)
-    if nb >= (1 << 27):
+    if nb >= (1 << (31 - N_SUB)):
         raise ValueError(
             f"mxu backend packs block ids with {N_SUB}-bit subtile masks; "
-            f"block count must be < 2^27, got {nb}"
+            f"block count must be < 2^{31 - N_SUB}, got {nb}"
         )
     ids, counts, ovf, submasks = candidate_blocks(
         origins, dirs, block_lo, block_hi, t_max=t_init, vmax=vmax,
