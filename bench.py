@@ -266,7 +266,9 @@ def _extra_workloads():
     origins = rng.uniform([0.5, 0.5, 0.3], [5.5, 4.5, 2.2], (n, 3))
     dirs = rng.normal(size=(n, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    print("[bench] extras: incoherent...", file=sys.stderr, flush=True)
     incoherent = _measure_raycast_direct(asset, origins, dirs, t_max=20.0)
+    print("[bench] extras: incoherent sorted...", file=sys.stderr, flush=True)
     # Same rays with the coherence-restoring sort FORCED (static under jit,
     # so the measurement is apples-to-apples with the jitted unsorted
     # number): this is the mitigation the "auto" mode triggers eagerly
@@ -292,6 +294,7 @@ def _extra_workloads():
         np.stack([np.linspace(1.0, 5.0, 20),
                   np.full(20, 2.5), np.full(20, 1.0)], axis=1), r, axis=0
     ).astype(np.float32)
+    print("[bench] extras: open scene...", file=sys.stderr, flush=True)
     open_scene = _measure_raycast_direct(
         asset=open_asset, origins=scan_origins, dirs=scan_dirs, t_max=20.0
     )
@@ -367,8 +370,12 @@ def _production_workloads():
     # scale the reference engine actually traverses.
     verts, tris = synthetic_room(BENCH_TRIS)
     pts, normals = _sample_tls_cloud(verts, tris, n_points=500_000)
+    print("[bench] production: reconstructing...", file=sys.stderr, flush=True)
     recon = SurfaceReconstructor(voxel_size=0.04, mise_iter=1)
     mesh, rstats = recon.reconstruct(pts, normals)
+    print(f"[bench] production: recon done "
+          f"({rstats['output_faces']} faces), scanning...",
+          file=sys.stderr, flush=True)
     recon_asset = build_scene_asset(
         np.asarray(mesh.vertices, np.float32),
         np.asarray(mesh.triangles, np.int32),
@@ -405,6 +412,7 @@ def _production_workloads():
     }
 
     # --- 2. BLK2GO dual-axis production profile -------------------------
+    print("[bench] production: blk2go...", file=sys.stderr, flush=True)
     box_asset = build_scene_asset(verts, tris)
     blk = DualAxisLidarIntrinsics.create_blk2go_dual_axis()
     wps80 = [
@@ -497,15 +505,26 @@ def main():
         }))
         return
 
+    def _mark(msg):
+        # progress to stderr so the single JSON stdout line stays clean and
+        # a watchdog timeout still shows which phase was running
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    _mark("headline 32-line scan...")
     result = _measure("auto", num_waypoints=WAYPOINTS)
+    _mark(f"headline done: {result['rays_per_sec']/1e6:.2f} M rays/s")
     try:
         extras = _extra_workloads()
+        _mark(f"extras done: {extras}")
     except Exception as e:
         extras = {"error": str(e)}
     try:
         production = _production_workloads()
+        _mark(f"production done: {production}")
     except Exception as e:
         production = {"error": str(e)}
+    _mark("cpu baseline...")
 
     baseline_rps = None
     try:
