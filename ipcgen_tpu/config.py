@@ -74,6 +74,12 @@ class SimulationConfig:
     enable_mesh_visualization: bool = False
     save_visualizations: bool = True
     seed: int = 0
+    # Optional azimuth-step override applied to the selected 8/32-line
+    # profile (the reference supports custom profiles via
+    # lidar_intrinsics.py:319 create_custom_lidar; this exposes the one
+    # knob batch users actually turn — scan density — through the typed
+    # tree).  None keeps the profile's native resolution.
+    lidar_horizontal_res: Optional[int] = None
 
 
 @dataclass

@@ -288,7 +288,8 @@ def raycast_asset_xla(origins, dirs, asset: SceneAsset) -> RaycastResult:
 
 
 def raycast_asset(
-    origins, dirs, asset: SceneAsset, backend: str = "auto", t_max: float = np.inf
+    origins, dirs, asset: SceneAsset, backend: str = "auto",
+    t_max: float = np.inf, sort_rays="auto",
 ) -> RaycastResult:
     """Public entry: intersect rays with the resident scene.
 
@@ -303,6 +304,16 @@ def raycast_asset(
     t_max : optional hit-distance cap — the fast paths cull blocks beyond
         the LiDAR max range at the AABB level; the brute path filters
         afterwards.
+    sort_rays : MXU backend only — "auto" | True | False.  The coherence-
+        restoring ray sort (raycast_mxu._ray_sort_order) that keeps
+        unstructured ray sets off the walk-all fallback.  "auto" measures
+        the prepass overflow fraction, which needs a host read and
+        therefore silently degrades to False inside a jit trace — callers
+        who jit over INCOHERENT rays (random sampling, scattered queries)
+        must pass ``sort_rays=True`` explicitly (a static flag: the sort +
+        inverse permutation compile into the caller's program).  Scan
+        pipelines impose coherence via their own patch permutation and
+        want the default.
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
@@ -313,7 +324,9 @@ def raycast_asset(
     if backend == "mxu":
         from ipcgen_tpu.ops.raycast_mxu import raycast_asset_mxu
 
-        return raycast_asset_mxu(origins, dirs, asset, t_max=t_max)
+        return raycast_asset_mxu(
+            origins, dirs, asset, t_max=t_max, sort_rays=sort_rays
+        )
     if backend == "pallas":
         from ipcgen_tpu.ops.raycast_pallas import raycast_asset_pallas
 

@@ -290,11 +290,14 @@ def _compact_ids(mask, vals):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_max", "vmax", "group", "gmax", "chunk1", "chunk2"),
+    static_argnames=(
+        "t_max", "vmax", "group", "gmax", "chunk1", "chunk2", "tile", "n_sub"
+    ),
 )
 def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
                      vmax: int = VMAX, group: int = 8, gmax: int = 48,
-                     chunk1: int = 8, chunk2: int = 4):
+                     chunk1: int = 8, chunk2: int = 4,
+                     tile: int = TILE, n_sub: int = N_SUB):
     """Per-tile candidate block lists via HIERARCHICAL exact slab tests.
 
     Round 2 slab-tested every ray against every leaf block: O(R x NB) with
@@ -318,15 +321,15 @@ def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
     (raycast_mxu_components scales it with the scene's block count).
 
     Returns (ids (vmax, T) int32, counts (T,) int32, overflow (T,) bool,
-    masks (vmax, T) int32) — ``masks`` holds per-candidate N_SUB-bit
+    masks (vmax, T) int32) — ``masks`` holds per-candidate ``n_sub``-bit
     subtile masks (bit s set iff subtile s of the tile crosses the block).
-    ``origins``/``dirs`` must already be padded to a TILE multiple.
+    ``origins``/``dirs`` must already be padded to a ``tile`` multiple.
     """
     n = origins.shape[0]
-    n_tiles = n // TILE
+    n_tiles = n // tile
     nb = block_lo.shape[0]
-    o_t = origins.reshape(n_tiles, TILE, 3)
-    d_t = dirs.reshape(n_tiles, TILE, 3)
+    o_t = origins.reshape(n_tiles, tile, 3)
+    d_t = dirs.reshape(n_tiles, tile, 3)
 
     # Group AABBs (pad the block axis with NaN rows; all-NaN groups and the
     # sentinel group can never pass a slab test).
@@ -373,20 +376,23 @@ def candidate_blocks(origins, dirs, block_lo, block_hi, *, t_max: float,
     blo_g = blo_p[block_ids]  # (T, gmax*group, 3)
     bhi_g = bhi_p[block_ids]
     mask_s = _tile_slab_or(
-        o_t, d_t, blo_g, bhi_g, t_max, chunk=chunk2, subtiles=N_SUB
-    )  # (T, N_SUB, gmax*group)
-    bits = jnp.zeros(mask_s.shape[::2], jnp.int32)
-    for s in range(N_SUB):
-        bits = bits | (mask_s[:, s, :].astype(jnp.int32) << s)
+        o_t, d_t, blo_g, bhi_g, t_max, chunk=chunk2, subtiles=n_sub
+    )  # (T, n_sub, gmax*group), or (T, gmax*group) when n_sub == 1
+    if n_sub == 1:
+        bits = mask_s.astype(jnp.int32)
+    else:
+        bits = jnp.zeros(mask_s.shape[::2], jnp.int32)
+        for s in range(n_sub):
+            bits = bits | (mask_s[:, s, :].astype(jnp.int32) << s)
     mask_b = bits > 0
     # Carry (block id, subtile bits) through one sort by packing; ids fit
-    # comfortably (nb < 2^(31-N_SUB) at the int32 limit, caller-checked).
+    # comfortably (nb < 2^(31-n_sub) at the int32 limit, caller-checked).
     packed_sorted, counts = _compact_ids(
-        mask_b, (block_ids << N_SUB) | bits
+        mask_b, (block_ids << n_sub) | bits
     )
     overflow = overflow | (counts > vmax)
-    ids_sorted = packed_sorted >> N_SUB
-    masks_sorted = packed_sorted & ((1 << N_SUB) - 1)
+    ids_sorted = packed_sorted >> n_sub
+    masks_sorted = packed_sorted & ((1 << n_sub) - 1)
     return (
         ids_sorted[:, :vmax].T,
         counts,
@@ -465,7 +471,7 @@ def _pairs_kernel(
     f_ref, ids_ref, counts_ref, ovf_ref, trif_hbm,
     t_out, i_out,
     trif_vmem, sems,
-    *, tb: int, nb: int, vmax: int, t_init: float,
+    *, tb: int, nb: int, vmax: int, t_init: float, tile: int = TILE,
 ):
     """Per-(tile, candidate-block) intersection with a LANE-LOCAL epilogue.
 
@@ -499,8 +505,8 @@ def _pairs_kernel(
 
     init_key = _key_const(t_init)
     init = (
-        jnp.full((TILE, tb), init_key, jnp.int32),
-        jnp.full((TILE, tb), 0, jnp.int32),
+        jnp.full((tile, tb), init_key, jnp.int32),
+        jnp.full((tile, tb), 0, jnp.int32),
     )
     f_hi = f.astype(jnp.bfloat16)
     f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -571,9 +577,9 @@ def _pairs_kernel(
         )
 
     best_key, best_blk = jax.lax.fori_loop(0, trip, body, init)
-    # One cross-lane reduction per TILE: nearest t, then the smallest packed
+    # One cross-lane reduction per tile: nearest t, then the smallest packed
     # slot among exact ties (matches the oracle's first-minimum argmin).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, tb), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, tb), 1)
     kmin = jnp.min(best_key, axis=1, keepdims=True)  # (TILE, 1)
     packed = best_blk * tb + lane
     slot = jnp.min(
@@ -611,7 +617,8 @@ _INNER = 2048  # static inner grid extent of the flat pair dispatch
 
 
 def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
-                 t_out, i_out, bn, bd, bb, fc48, *, tb: int, t_init: float):
+                 t_out, i_out, bn, bd, bb, fc48, *, tb: int, t_init: float,
+                 tile: int = TILE, n_sub: int = N_SUB):
     """One grid step = one real (tile, candidate-block) pair.
 
     (Negative result, measured on hardware: consuming TWO pair entries per
@@ -667,10 +674,10 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
     i = pl.program_id(0) * _INNER + pl.program_id(1)
     ns = ns_ref[0]
     valid = i < ns
-    tile = tiles_ref[i]
+    cur = tiles_ref[i]  # this step's tile id (``tile`` is the static width)
     prev = jnp.where(i == 0, -1, tiles_ref[jnp.maximum(i - 1, 0)])
 
-    @pl.when(valid & (tile != prev))
+    @pl.when(valid & (cur != prev))
     def _():
         bn[:] = jnp.full_like(bn, t_init)
         bd[:] = jnp.ones_like(bd)
@@ -682,8 +689,8 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
         fc48[:, 32:48] = (f - h.astype(jnp.float32)).astype(jnp.bfloat16)
 
     msk = masks_ref[i]
-    sub = TILE // N_SUB
-    for s in range(N_SUB):
+    sub = tile // n_sub
+    for s in range(n_sub):
         @pl.when(valid & (((msk >> s) & 1) != 0))
         def _(s=s):
             rows = slice(s * sub, (s + 1) * sub)
@@ -709,11 +716,11 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
             bd[rows] = jnp.where(take, ad, bd[rows])
             bb[rows] = jnp.where(take, blocks_ref[i], bb[rows])
 
-    @pl.when(valid & ((i + 1 == ns) | (tiles_ref[i + 1] != tile)))
+    @pl.when(valid & ((i + 1 == ns) | (tiles_ref[i + 1] != cur)))
     def _():
         t_best = bn[:] / bd[:]  # the tile's ONLY divide
         best_key = jax.lax.bitcast_convert_type(t_best, jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, tb), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, tb), 1)
         kmin = jnp.min(best_key, axis=1, keepdims=True)
         packed = bb[:] * tb + lane
         slot = jnp.min(
@@ -726,14 +733,17 @@ def _flat_kernel(tiles_ref, blocks_ref, masks_ref, ns_ref, f_ref, trif_ref,
 
 
 def _flat_call(pair_tiles, pair_blocks, pair_masks, n_steps, f_tiles, trif,
-               *, tb: int, t_init: float, interpret: bool = False):
+               *, tb: int, t_init: float, interpret: bool = False,
+               tile: int = TILE, n_sub: int = N_SUB):
     """Dispatch the flat kernel over a (dynamic, _INNER) pair grid.
 
-    ``f_tiles`` is the raw (n_tiles, TILE, 16) ray-feature array; the
+    ``f_tiles`` is the raw (n_tiles, tile, 16) ray-feature array; the
     bf16x3 split happens in-kernel at tile transitions.
     """
     n_tiles = f_tiles.shape[0]
-    kern = functools.partial(_flat_kernel, tb=tb, t_init=t_init)
+    kern = functools.partial(
+        _flat_kernel, tb=tb, t_init=t_init, tile=tile, n_sub=n_sub
+    )
     ns = jnp.asarray(n_steps, jnp.int32).reshape(1)
     if interpret:
         # interpret mode can't take a traced grid extent; walk the full
@@ -746,7 +756,7 @@ def _flat_call(pair_tiles, pair_blocks, pair_masks, n_steps, f_tiles, trif,
         grid=(outer, _INNER),
         in_specs=[
             pl.BlockSpec(
-                (1, TILE, 16),
+                (1, tile, 16),
                 lambda io, ii, tiles, blks, msks, ns:
                     (tiles[io * _INNER + ii], 0, 0),
             ),
@@ -758,29 +768,29 @@ def _flat_call(pair_tiles, pair_blocks, pair_masks, n_steps, f_tiles, trif,
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, TILE, 1),
+                (1, tile, 1),
                 lambda io, ii, tiles, blks, msks, ns:
                     (tiles[io * _INNER + ii], 0, 0),
             ),
             pl.BlockSpec(
-                (1, TILE, 1),
+                (1, tile, 1),
                 lambda io, ii, tiles, blks, msks, ns:
                     (tiles[io * _INNER + ii], 0, 0),
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, tb), jnp.float32),  # bn: best |t_num|
-            pltpu.VMEM((TILE, tb), jnp.float32),  # bd: best |t_den| (> 0)
-            pltpu.VMEM((TILE, tb), jnp.int32),  # bb: best block id
-            pltpu.VMEM((TILE, 48), jnp.bfloat16),  # fc48: split ray feats
+            pltpu.VMEM((tile, tb), jnp.float32),  # bn: best |t_num|
+            pltpu.VMEM((tile, tb), jnp.float32),  # bd: best |t_den| (> 0)
+            pltpu.VMEM((tile, tb), jnp.int32),  # bb: best block id
+            pltpu.VMEM((tile, 48), jnp.bfloat16),  # fc48: split ray feats
         ],
     )
     t, slot = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile, 1), jnp.int32),
         ],
         interpret=interpret,
     )(pair_tiles, pair_blocks, pair_masks, ns, f_tiles, trif)
@@ -835,19 +845,19 @@ def _build_pair_list(ids, counts, ovf, masks, cap: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tb", "nb", "vmax", "t_init", "interpret")
+    jax.jit, static_argnames=("tb", "nb", "vmax", "t_init", "interpret", "tile")
 )
 def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
-                interpret=False):
+                interpret=False, tile=TILE):
     n_tiles = f_tiles.shape[0]
     kern = functools.partial(
-        _pairs_kernel, tb=tb, nb=nb, vmax=vmax, t_init=t_init
+        _pairs_kernel, tb=tb, nb=nb, vmax=vmax, t_init=t_init, tile=tile
     )
     t, slot = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, TILE, 16), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ids (vmax, T)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts (T,)
@@ -855,14 +865,14 @@ def _pairs_call(f_tiles, ids, counts, ovf, trif, *, tb, nb, vmax, t_init,
             pl.BlockSpec(memory_space=pl.ANY),  # trif (NB, 48, 5*TB)
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_RING, 48, 5 * tb), jnp.bfloat16),
@@ -904,6 +914,8 @@ def raycast_mxu_components(
     t_max: float = np.inf,
     interpret: bool = False,
     sort_rays="auto",
+    tile: int = None,
+    n_sub: int = None,
 ):
     """MXU raycast over raw asset components; returns (t, packed_slot).
 
@@ -916,13 +928,23 @@ def raycast_mxu_components(
     signature of incoherent tiles degenerating toward all-blocks walks) and
     re-runs sorted when it exceeds 2%; this needs a host read, so inside a
     jit trace ``"auto"`` quietly means False (callers under jit — the scan
-    paths — impose coherence via their own patch permutation instead).
+    paths — impose coherence via their own patch permutation; jitted
+    callers with incoherent rays pass ``sort_rays=True``, a static flag).
+
+    ``tile``/``n_sub`` override the kernel's rays-per-tile and subtile-mask
+    granularity (None = per-path defaults; smaller tiles shorten a bundle's
+    candidate-list union at more fixed per-step cost — see
+    docs/BENCHMARKS.md for the measured sweep).
     """
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     auto_sort = sort_rays == "auto"
     if auto_sort:
         sort_rays = False
+    if tile is None:
+        tile = 256 if sort_rays else TILE
+    if n_sub is None:
+        n_sub = 1 if tile <= 256 else N_SUB
     n = origins.shape[0]
     nb = tri_data.shape[0]
     tb = tri_data.shape[2]
@@ -941,7 +963,7 @@ def raycast_mxu_components(
         origins = origins[order]
         dirs = dirs[order]
 
-    pad = (-n) % TILE
+    pad = (-n) % tile
     if pad:
         # Pad by repeating the last real ray: keeps the final tile's ray
         # bundle spatially tight for the prepass (far-away pad origins
@@ -951,7 +973,7 @@ def raycast_mxu_components(
             [origins, jnp.broadcast_to(origins[-1:], (pad, 3))]
         )
         dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))])
-    n_tiles = origins.shape[0] // TILE
+    n_tiles = origins.shape[0] // tile
 
     # Scene centering conditions the Pluecker intermediates (see build_trif).
     center = (jnp.nanmin(block_lo, axis=0) + jnp.nanmax(block_hi, axis=0)) * 0.5
@@ -991,14 +1013,14 @@ def raycast_mxu_components(
         # order of magnitude over scan tiles but 2.3x under walk-all.
         gmax = min(-(-nb // group), 4 * gmax)
         vmax = min(1024, nb)
-    if nb >= (1 << (31 - N_SUB)):
+    if nb >= (1 << (31 - n_sub)):
         raise ValueError(
-            f"mxu backend packs block ids with {N_SUB}-bit subtile masks; "
-            f"block count must be < 2^{31 - N_SUB}, got {nb}"
+            f"mxu backend packs block ids with {n_sub}-bit subtile masks; "
+            f"block count must be < 2^{31 - n_sub}, got {nb}"
         )
     ids, counts, ovf, submasks = candidate_blocks(
         origins, dirs, block_lo, block_hi, t_max=t_init, vmax=vmax,
-        group=group, gmax=gmax,
+        group=group, gmax=gmax, tile=tile, n_sub=n_sub,
     )
     if auto_sort and not isinstance(ovf, jax.core.Tracer):
         ovf_frac = float(jnp.mean(ovf.astype(jnp.float32)))
@@ -1007,7 +1029,7 @@ def raycast_mxu_components(
                 origins[:n], dirs[:n], tri_data, block_lo, block_hi,
                 t_max=t_max, interpret=interpret, sort_rays=True,
             )
-    f = ray_features(origins - center, dirs).reshape(n_tiles, TILE, 16)
+    f = ray_features(origins - center, dirs).reshape(n_tiles, tile, 16)
 
     # Chunk tiles so the SMEM candidate/pair tables stay bounded.  Each
     # chunk runs the flat pair-grid kernel over every tile whose exact
@@ -1021,16 +1043,22 @@ def raycast_mxu_components(
     # traced grid extent), so the generous production budget would 4x the
     # CPU tests' dead-step walk; the small budget just routes spill tiles
     # to the fori fallback, which is equally exact.
-    mega = MEGA
-    pair_budget = PAIR_BUDGET
+    # The SMEM pair-table footprint is 3 * mega * pair_budget * 4 B; scale
+    # tiles-per-dispatch inversely with the tile width so the aggregate
+    # pair pool (and the rays per dispatch) stay constant across tile
+    # configurations.
+    scale = max(TILE // tile, 1)
+    mega = MEGA * scale
+    pair_budget = max(PAIR_BUDGET // scale, 16)
     if sort_rays:
         # Sorted-incoherent tiles carry candidate lists an order of
         # magnitude longer than scan tiles (~470-650 on the bench room vs
-        # ~25).  Spilling them to the fori fallback forfeits the whole
-        # point of the sort, so trade chunk width for per-tile budget at
-        # the same 3 * mega * budget * 4 B SMEM footprint.
-        mega = MEGA // 8
-        pair_budget = PAIR_BUDGET * 8
+        # ~25 at 1024 rays; proportionally shorter for smaller tiles).
+        # Spilling them to the fori fallback forfeits the whole point of
+        # the sort, so trade chunk width for per-tile budget at the same
+        # 3 * mega * budget * 4 B SMEM footprint.
+        mega = max(mega // 8, 1)
+        pair_budget = pair_budget * 8
     if interpret:
         pair_budget = 64
     for s in range(0, n_tiles, mega):
@@ -1044,6 +1072,7 @@ def raycast_mxu_components(
         t_flat, s_flat = _flat_call(
             tiles_c, blocks_c, masks_c, n_steps, f[s:e], trif,
             tb=tb, t_init=t_init, interpret=interpret,
+            tile=tile, n_sub=n_sub,
         )
         # Fallback bookkeeping: the fori kernel's SMEM candidate table is
         # capped at VMAX entries regardless of the flat path's wider
@@ -1058,11 +1087,11 @@ def raycast_mxu_components(
         def run_fori(f_c, ids_c, counts_c, ovf_c):
             return _pairs_call(
                 f_c, ids_c, counts_c, ovf_c, trif, tb=tb, nb=nb,
-                vmax=VMAX, t_init=t_init, interpret=interpret,
+                vmax=VMAX, t_init=t_init, interpret=interpret, tile=tile,
             )
 
         def skip_fori(f_c, ids_c, counts_c, ovf_c):
-            nray = f_c.shape[0] * TILE
+            nray = f_c.shape[0] * tile
             return (
                 jnp.full((nray,), t_init, jnp.float32),
                 jnp.full((nray,), -1, jnp.int32),
@@ -1072,7 +1101,7 @@ def raycast_mxu_components(
             needs_fori, run_fori, skip_fori,
             f[s:e], ids[:VMAX, s:e], counts_fb, ovf_fb.astype(jnp.int32),
         )
-        hray = jnp.repeat(handled, TILE)
+        hray = jnp.repeat(handled, tile)
         ts.append(jnp.where(hray, t_flat, t_fori))
         slots.append(jnp.where(hray, s_flat, s_fori))
     t = jnp.concatenate(ts) if len(ts) > 1 else ts[0]
@@ -1090,6 +1119,7 @@ def raycast_mxu_components(
 def raycast_asset_mxu(
     origins, dirs, asset: SceneAsset, t_max: float = np.inf,
     interpret: bool = False, sort_rays="auto",
+    tile: int = None, n_sub: int = None,
 ) -> RaycastResult:
     """Intersect rays with the resident scene via the MXU pairs kernel.
 
@@ -1100,5 +1130,6 @@ def raycast_asset_mxu(
     t, slot = raycast_mxu_components(
         origins, dirs, asset.tri_data, asset.block_lo, asset.block_hi,
         t_max=t_max, interpret=interpret, sort_rays=sort_rays,
+        tile=tile, n_sub=n_sub,
     )
     return finalize_result(origins, dirs, t, slot, asset)

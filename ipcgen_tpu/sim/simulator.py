@@ -93,6 +93,12 @@ class S3DISSimulator:
             self.lidar_config = Indoor8LineLidarIntrinsics.create_dense_32line()
         else:
             self.lidar_config = Indoor8LineLidarIntrinsics.create_standard_8line()
+        hres = (self.config.get("lidar", {}) or {}).get("horizontal_res")
+        if hres and hasattr(self.lidar_config, "horizontal_res"):
+            # Config-tree analog of the reference's create_custom_lidar
+            # (lidar_intrinsics.py:319): same profile, different azimuth
+            # density.  Dual-axis profiles size by point rate instead.
+            self.lidar_config.horizontal_res = int(hres)
 
         use_gpu = self.config.get("raycast_engine", {}).get("use_gpu", True)
         if use_gpu:
@@ -501,6 +507,7 @@ def run_single_scene_simulation(
     seed: int = 0,
     save_visualizations: bool = True,
     save_executor: Optional[Any] = None,
+    lidar_horizontal_res: Optional[int] = None,
 ) -> S3DISSimScene:
     """Process a single scene end-to-end (reference: :482-553; the dead
     manual-trajectory fallthrough bug at :530-550 is fixed — each branch runs
@@ -516,6 +523,7 @@ def run_single_scene_simulation(
         "area": area,
         "room": room,
         "seed": seed,
+        "lidar": {"horizontal_res": lidar_horizontal_res},
     }
     simulator = S3DISSimulator(
         config, use_dense_lidar=use_dense_lidar, use_blk2go=use_blk2go
@@ -561,6 +569,7 @@ def run_scenes_device_parallel(
     s3dis_data_root: str = "S3DIS/raw/S3DIS/data/Stanford3dDataset_v1.2_Aligned_Version",
     seed: int = 0,
     save_visualizations: bool = False,
+    lidar_horizontal_res: Optional[int] = None,
 ) -> Tuple[List[Tuple[str, S3DISSimScene]], List[Tuple[str, str]]]:
     """Room-level data parallelism: one room per chip (SURVEY.md §2.4).
 
@@ -599,6 +608,7 @@ def run_scenes_device_parallel(
                     "area": job.get("area"),
                     "room": job.get("room"),
                     "seed": seed,
+                    "lidar": {"horizontal_res": lidar_horizontal_res},
                 }
                 simulator = S3DISSimulator(
                     config, use_dense_lidar=use_dense_lidar, use_blk2go=use_blk2go
@@ -698,6 +708,7 @@ def main(
     async_export: bool = False,
     save_visualizations: bool = True,
     room_dp: bool = False,
+    lidar_horizontal_res: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Batch entry point over all reconstructed scenes (reference: :594-726)
     with the same skip/resume semantics: a scene is skipped when BOTH the
@@ -752,6 +763,7 @@ def main(
             use_blk2go=use_blk2go,
             s3dis_data_root=s3dis_data_root,
             save_visualizations=save_visualizations,
+            lidar_horizontal_res=lidar_horizontal_res,
         )
         _print_batch_summary(
             len(available_scenes), successful_scenes, skipped_scenes,
@@ -813,6 +825,7 @@ def main(
                 room=room,
                 save_visualizations=save_visualizations,
                 save_executor=executor,
+                lidar_horizontal_res=lidar_horizontal_res,
             )
             successful_scenes.append((scene_name, sim_scene))
             if executor is not None and getattr(sim_scene, "save_future", None) is not None:

@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--incoherent", action="store_true")
     ap.add_argument("--sort", action="store_true")
     ap.add_argument("--backend", default="mxu")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="rays per kernel tile (None = per-path default)")
+    ap.add_argument("--nsub", type=int, default=None,
+                    help="subtile-mask granularity (None = default)")
     ap.add_argument(
         "--sharded", action="store_true",
         help="run the full scan through scan_waypoints_sharded on a "
@@ -152,17 +156,20 @@ def main():
     if args.backend == "mxu":
         from ipcgen_tpu.ops.raycast_mxu import raycast_mxu_components
 
-        @functools.partial(jax.jit, static_argnames=("sort_rays",))
-        def run(o, d, a, sort_rays=False):
+        @functools.partial(
+            jax.jit, static_argnames=("sort_rays", "tile", "n_sub")
+        )
+        def run(o, d, a, sort_rays=False, tile=None, n_sub=None):
             return raycast_mxu_components(
                 o, d, a.tri_data, a.block_lo, a.block_hi, t_max=25.0,
-                sort_rays=sort_rays)
+                sort_rays=sort_rays, tile=tile, n_sub=n_sub)
     else:
         raise SystemExit(f"unknown backend {args.backend}")
 
     o = jnp.asarray(origins)
     d = jnp.asarray(dirs)
-    out = run(o, d, asset, sort_rays=args.sort)
+    out = run(o, d, asset, sort_rays=args.sort, tile=args.tile,
+              n_sub=args.nsub)
     sync(out[0])
     # Amortized timing: the tunnel costs ~31 ms of fixed RTT per sync (the
     # eager reduction + host read), so a single-dispatch measurement carries
@@ -173,7 +180,8 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = run(o, d, asset, sort_rays=args.sort)
+            out = run(o, d, asset, sort_rays=args.sort, tile=args.tile,
+                      n_sub=args.nsub)
         sync(out[0])
         times.append((time.perf_counter() - t0) / args.reps)
     dt = min(times)

@@ -119,6 +119,7 @@ def main(argv=None):
                         room=room,
                         seed=cfg.simulation.seed,
                         save_visualizations=cfg.simulation.save_visualizations,
+                        lidar_horizontal_res=cfg.simulation.lidar_horizontal_res,
                     )
                     entry["sim"] = "done"
 

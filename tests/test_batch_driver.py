@@ -44,6 +44,10 @@ def test_batch_main_with_skip_resume(tmp_path, monkeypatch):
         use_dense_lidar=False,
         use_auto_trajectory=False,
         s3dis_data_root=str(tmp_path / "nonexistent"),
+        # 256 azimuth steps: skip/resume semantics don't depend on scan
+        # density, and the 1-core CPU suite pays ~4x wall for the native
+        # 2000 (format/values asserted in the golden pipeline instead).
+        lidar_horizontal_res=256,
     )
     result = main(**kwargs)
     assert len(result["successful"]) == 2
@@ -76,6 +80,7 @@ def test_batch_main_async_export(tmp_path, monkeypatch):
         output_base_dir=str(tmp_path / "sync_out"),
         use_blk2go=False,
         use_dense_lidar=False,
+        lidar_horizontal_res=256,
     )
     res_async = main(
         reconstruction_dir=str(recon),
@@ -84,6 +89,7 @@ def test_batch_main_async_export(tmp_path, monkeypatch):
         use_blk2go=False,
         use_dense_lidar=False,
         async_export=True,
+        lidar_horizontal_res=256,
     )
     assert len(res_async["successful"]) == len(res_sync["successful"]) == 2
     assert not res_async["failed"]
@@ -150,6 +156,7 @@ def test_batch_main_room_dp(tmp_path, monkeypatch):
         use_blk2go=False,
         use_dense_lidar=False,
         save_visualizations=False,
+        lidar_horizontal_res=256,
     )
     res_seq = main(output_base_dir=str(tmp_path / "seq_out"), **common)
     res_dp = main(

@@ -136,6 +136,12 @@ def golden(request, tmp_path_factory):
     cfg.simulation.num_waypoints = 5
     cfg.simulation.use_blk2go = False
     cfg.simulation.use_dense_lidar = False
+    # 512 azimuth steps instead of the profile's 2000: none of the golden
+    # FORMAT assertions depend on scan density (the densest check is
+    # "Total points > 5000"; 40 frames x 8 x 512 rays leave ~100k), and the
+    # 1-core CPU suite spends most of its wall time pushing the extra rays
+    # through scan + label transfer (measured r4: sim 60.8 -> ~15 s/room).
+    cfg.simulation.lidar_horizontal_res = 512
     cfg.simulation.use_auto_trajectory = True  # exercises trajectory_analysis
     cfg.simulation.use_gpu = False
     cfg.simulation.backend = "xla"

@@ -246,6 +246,32 @@ def test_sort_rays_matches_unsorted(rng):
     )
 
 
+def test_tile_width_variants_match(rng):
+    """The kernel's tile/n_sub granularity is a pure performance knob:
+    every configuration returns identical results (r4: smaller tiles are
+    the sorted-incoherent path's default; see raycast_mxu_components)."""
+    verts, tris = _cluttered_room(rng)
+    asset = build_scene_asset(verts, tris)
+    n = 2048
+    origins = rng.uniform([0.5, 0.5, 0.3], [3.4, 2.4, 2.0], (n, 3)).astype(
+        np.float32
+    )
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ref = raycast_asset_mxu(origins, dirs, asset, t_max=20.0, interpret=True,
+                            sort_rays=False)
+    h_ref = np.asarray(ref.hit)
+    for tile, n_sub, srt in ((512, 2, False), (256, 1, False), (256, 2, True)):
+        res = raycast_asset_mxu(
+            origins, dirs, asset, t_max=20.0, interpret=True,
+            sort_rays=srt, tile=tile, n_sub=n_sub,
+        )
+        np.testing.assert_array_equal(h_ref, np.asarray(res.hit)), (tile, srt)
+        np.testing.assert_allclose(
+            np.asarray(ref.t)[h_ref], np.asarray(res.t)[h_ref], rtol=1e-5
+        )
+
+
 def test_scan_waypoints_mxu_matches_xla(rng, monkeypatch):
     """The fused scan with the MXU backend (patch permutation + kernel +
     inverse permutation) matches the XLA path ray-for-ray."""

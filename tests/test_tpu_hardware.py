@@ -124,28 +124,38 @@ def _chip_available() -> bool:
     return _PROBED
 
 
-def _run_on_chip(script):
+_CHIP_RESULT = None
+
+
+def _run_on_chip_combined():
+    """Both hardware checks share ONE subprocess: each chip process pays
+    ~40-60 s of tunnel init + jax bring-up before any kernel runs, so two
+    separate launches cost a spare minute of suite wall time for zero extra
+    coverage (the two scripts build different scenes and assert different
+    contracts either way).  The combined script runs the parity section
+    first, then the fuzz section; each test asserts its own marker."""
+    global _CHIP_RESULT
     if not _chip_available():
         pytest.skip("no TPU attached (or device runtime unreachable)")
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True,
-        text=True,
-        timeout=900,
-        env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    if "NOTPU" in proc.stdout:
+    if _CHIP_RESULT is None:
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        _CHIP_RESULT = subprocess.run(
+            [sys.executable, "-c", _SCRIPT + _FUZZ_SCRIPT],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    if "NOTPU" in _CHIP_RESULT.stdout:
         pytest.skip("no TPU attached")
-    assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
-    return proc
+    return _CHIP_RESULT
 
 
 def test_pallas_hardware_parity_vs_oracle():
-    proc = _run_on_chip(_SCRIPT)
+    proc = _run_on_chip_combined()
     assert "PARITY_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
 
 
@@ -249,5 +259,6 @@ print("FUZZ_OK")
 
 
 def test_mxu_hardware_fuzz_degenerate_oblique():
-    proc = _run_on_chip(_FUZZ_SCRIPT)
+    proc = _run_on_chip_combined()
+    assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
     assert "FUZZ_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
