@@ -942,16 +942,26 @@ def raycast_mxu_components(
     if auto_sort:
         sort_rays = False
     if tile is None:
-        tile = 256 if sort_rays else TILE
+        # Measured (r4 sweep, 160k-tri room, v5e): 1024-ray tiles win on
+        # BOTH paths — coherent 16.9/13.4/9.7 M rays/s at 1024/512/256,
+        # sorted-incoherent 2.20/2.08/1.83.  Smaller tiles do shorten each
+        # bundle's candidate union, but the ~0.5 us fixed per-step cost of
+        # the flat grid grows faster than the union shrinks.
+        tile = TILE
     if n_sub is None:
         n_sub = 1 if tile <= 256 else N_SUB
     n = origins.shape[0]
     nb = tri_data.shape[0]
     tb = tri_data.shape[2]
-    if tb > 128:
+    if tb > 512:
+        # Lane ids are positional since the r3 lane-local epilogue (the
+        # round-2 7-mantissa-bit packing is gone); the remaining bounds are
+        # the int32 packed slot (nb * tb < 2^31, guaranteed transitively by
+        # the block-id check below) and VMEM scratch (3 carries of
+        # (tile, tb) f32 ≈ 6 MB at tb=512 of the ~16 MB budget).
         raise ValueError(
-            f"mxu backend packs the winning lane into 7 key bits; "
-            f"block_size must be <= 128, got {tb}"
+            f"mxu backend carries (tile, block_size) f32 running-min state "
+            f"in VMEM; block_size must be <= 512, got {tb}"
         )
     t_init = float(t_max) if np.isfinite(t_max) else 1.0e30
 
@@ -1046,9 +1056,11 @@ def raycast_mxu_components(
     # The SMEM pair-table footprint is 3 * mega * pair_budget * 4 B; scale
     # tiles-per-dispatch inversely with the tile width so the aggregate
     # pair pool (and the rays per dispatch) stay constant across tile
-    # configurations.
+    # configurations.  The fori fallback's own SMEM table is (VMAX, mega)
+    # int32 — cap mega at 512 so it stays under half the ~1 MB scalar
+    # memory (measured: mega=1024 at tile=256 exceeded smem by 9 KB).
     scale = max(TILE // tile, 1)
-    mega = MEGA * scale
+    mega = min(MEGA * scale, 512)
     pair_budget = max(PAIR_BUDGET // scale, 16)
     if sort_rays:
         # Sorted-incoherent tiles carry candidate lists an order of

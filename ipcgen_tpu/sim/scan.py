@@ -234,7 +234,8 @@ def _inverse_perm(perm_bytes: bytes, r: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_range", "backend", "range_noise_std")
+    jax.jit,
+    static_argnames=("max_range", "backend", "range_noise_std", "outputs"),
 )
 def _scan_core(
     asset: SceneAsset,
@@ -247,6 +248,7 @@ def _scan_core(
     max_range: float,
     backend: str,
     range_noise_std: float,
+    outputs: str = "full",
 ) -> ScanBatch:
     """The whole post-beam-gen scan as ONE compiled program: pose transform,
     ray permutation, raycast, range noise, range mask, and both incidence
@@ -298,6 +300,23 @@ def _scan_core(
         points = origins + dirs_wp * t[..., None]
 
     mask = hit & jnp.broadcast_to(keep[:, perm], (w, r)) & (t < max_range)
+    if outputs == "minimal":
+        # Product hot path (sim/simulator.py collect_scan) consumes ONLY
+        # points + mask (+ t for the completion barrier); incident angles
+        # and ranges are exact host-side functions of (point - origin)
+        # for unit rays.  Skipping the angle math, the normals output,
+        # and their inverse-permutation gathers also lets XLA dead-code-
+        # eliminate finalize's (R, 4) tri_fin gather (normals/tri_id are
+        # its only consumers) — measured ~10% off the fused scan.
+        zero_wr = jnp.zeros((w, r), jnp.float32)
+        return ScanBatch(
+            points=jnp.where(mask[..., None], points, 0.0)[:, inv_perm],
+            t=jnp.where(mask, t, jnp.inf)[:, inv_perm],
+            mask=mask[:, inv_perm],
+            incident_angles=zero_wr,
+            normals=jnp.zeros((w, r, 3), jnp.float32),
+            true_incidence=zero_wr,
+        )
     # Reference formula: angle of the (unit) ray direction to vertical,
     # computed from normalized (point - center) == the ray direction.
     incident = jnp.degrees(
@@ -325,6 +344,7 @@ def scan_waypoints(
     key: Optional[jax.Array] = None,
     backend: str = "auto",
     apply_range_noise: bool = False,
+    outputs: str = "full",
 ) -> ScanBatch:
     """Scan the scene from every waypoint pose in one fused batch.
 
@@ -339,6 +359,10 @@ def scan_waypoints(
         measured distances.  Defaults False = reference parity (the
         reference declares range_noise_std but never applies it,
         lidar/lidar_intrinsics.py:236 + :364-389).
+    outputs : "full" (default) fills every ScanBatch field; "minimal"
+        computes only points/t/mask (incident_angles, normals,
+        true_incidence come back zero-filled) — the sim driver's hot
+        path, which derives angles/ranges host-side from the points.
 
     Semantics parity with the reference engine
     (raycast_engine_cpu.py:75-111): hits beyond ``max_range`` are dropped
@@ -377,4 +401,5 @@ def scan_waypoints(
         float(intrinsics.max_range),
         backend,
         sigma,
+        outputs,
     )

@@ -230,6 +230,10 @@ class S3DISSimulator:
             key=scan_key,
             backend=self.config.get("raycast_engine", {}).get("backend", "auto"),
             apply_range_noise=bool(self.config.get("apply_range_noise", False)),
+            # collect_scan consumes only points + mask and derives angles/
+            # ranges host-side; skipping the angle/normal outputs lets XLA
+            # DCE the finalize gather and four inverse permutations.
+            outputs="minimal",
         )
 
     def collect_scan(

@@ -10,12 +10,15 @@ host-read barrier, so kernel variants can be compared turn by turn.
 import argparse
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def patch_ordered_scan_rays(num_waypoints=20, r=128_000, lines=32):
-    sys.path.insert(0, "/root/repo/scripts")
     from ipcgen_tpu.sim.scan import patch_permutation
 
     phis = np.tile(np.linspace(0, 2 * np.pi, r // lines, endpoint=False), lines)
