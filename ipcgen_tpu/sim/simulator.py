@@ -262,7 +262,13 @@ class S3DISSimulator:
         _sync(batch.t)  # completion barrier: device scan execution
         sim_scene.profile["scan_exec"] = time.time() - t0
         t0 = time.time()
-        all_points, all_mask = batch.points_and_mask()
+        # uint16-quantized transfer on TPU: 6 B/point instead of 12 over
+        # the remote tunnel (measured rounding 0.03 mm — two orders under
+        # the sensor's 20 mm sigma); full-precision elsewhere (local CPU
+        # transfers are free and the tests byte-compare outputs).
+        all_points, all_mask = batch.points_and_mask(
+            quantized=jax.default_backend() == "tpu"
+        )
         sim_scene.profile["d2h"] = time.time() - t0
         t0 = time.time()
         origins = np.stack([w.to_pose_matrix()[:3, 3] for w in waypoints])
@@ -323,7 +329,14 @@ class S3DISSimulator:
         :220-296)."""
         start_time = time.time()
         batch = self.dispatch_scan(waypoints)
-        return self.collect_scan(batch, waypoints, start_time)
+        # dispatch includes eager beam generation and — when this room's
+        # block-count bucket is cold — the scan program's XLA compile (the
+        # jit call blocks until compiled); spanning it separately keeps
+        # compile leakage visible instead of silently inflating the stage.
+        dispatch_s = time.time() - start_time
+        scene = self.collect_scan(batch, waypoints, start_time)
+        scene.profile["dispatch"] = dispatch_s
+        return scene
 
     # ------------------------------------------------------------------
     def save_results(

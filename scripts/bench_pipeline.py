@@ -85,11 +85,22 @@ def main():
     ap.add_argument("--shell-points", type=int, default=600_000)
     ap.add_argument("--workdir", default="/tmp/bench_pipeline")
     ap.add_argument("--waypoints", type=int, default=20)
+    ap.add_argument(
+        "--passes", type=int, default=1,
+        help="run the same rooms N times in-process (fresh output dirs); "
+        "the last pass is the bucket-warm steady state.  Rooms of "
+        "different sizes land in different compile-shape buckets (SDF "
+        "dims, block counts), so with few rooms the single-pass 'steady' "
+        "mean still pays one-off bucket compiles that a production "
+        "272-room batch amortizes to ~zero; pass 2 has every bucket warm.")
     args = ap.parse_args()
 
-    from ipcgen_tpu.utils.device_probe import probe_device
+    from ipcgen_tpu.utils.device_probe import wait_for_device
 
-    platform = probe_device()
+    # A cold tunnel's first jax init can take 2-3 min; retry within a
+    # bounded window instead of failing on one 120 s probe.
+    platform = wait_for_device(max_wait_s=900.0, poll_s=15.0,
+                               probe_timeout_s=300.0)
     if platform is None:
         print(json.dumps({"error": "device runtime unreachable (tunnel "
                           "down); aborting instead of hanging"}))
@@ -128,15 +139,17 @@ def main():
     from ipcgen_tpu.recon.cli import reconstruct_room
     from ipcgen_tpu.sim.simulator import run_single_scene_simulation
 
-    stage_times = {"preprocess": [], "recon": [], "sim": [], "bbox": []}
+    stage_times = {"preprocess": [], "sim": [], "bbox": []}
     sim_profiles = []
     room_times = []
-    for room in rooms:
+
+    def run_room(room, pass_tag):
         t_room = time.time()
         t0 = time.time()
         rd = preprocess_room(
             str(data_root), "Area_1", room, cfg.to_dict(),
-            output_dir=str(work / "outputs" / "preprocessed"), seed=0,
+            output_dir=str(work / "outputs" / f"preprocessed{pass_tag}"),
+            seed=0,
         )
         stage_times["preprocess"].append(time.time() - t0)
         pre_spans = " ".join(
@@ -144,19 +157,17 @@ def main():
         )
         print(f"  preprocess sub-spans: {pre_spans}", flush=True)
         t0 = time.time()
-        reconstruct_room(
-            rd["output_path"], cfg.to_dict(),
-            str(work / "outputs" / "reconstruction_results"),
-        )
-        stage_times["recon"].append(time.time() - t0)
+        recon_dir = work / "outputs" / f"reconstruction_results{pass_tag}"
+        reconstruct_room(rd["output_path"], cfg.to_dict(), str(recon_dir))
+        stage_times.setdefault("recon", []).append(time.time() - t0)
         t0 = time.time()
         scene_name = f"Area_1_{room}"
+        out_base = f"{cfg.simulation.output_base_dir}{pass_tag}"
         sim_scene = run_single_scene_simulation(
-            scene_path=str(work / "outputs" / "reconstruction_results"
-                           / scene_name / "mesh_dense.ply"),
+            scene_path=str(recon_dir / scene_name / "mesh_dense.ply"),
             scene_name=scene_name,
             num_waypoints=args.waypoints,
-            output_base_dir=cfg.simulation.output_base_dir,
+            output_base_dir=out_base,
             use_blk2go=True,
             s3dis_data_root=str(data_root),
             area="Area_1",
@@ -172,35 +183,53 @@ def main():
         t0 = time.time()
         from ipcgen_tpu.bbox.detection import S3DISBBoxVisualizer
 
-        vis = S3DISBBoxVisualizer(results_root=cfg.simulation.output_base_dir)
+        vis = S3DISBBoxVisualizer(results_root=out_base)
         vis.visualize_room_bboxes(data_root / "Area_1" / room)
         stage_times["bbox"].append(time.time() - t0)
         room_times.append(time.time() - t_room)
-        print(f"{room}: {room_times[-1]:.1f}s "
+        print(f"{room}{pass_tag}: {room_times[-1]:.1f}s "
               f"(pre {stage_times['preprocess'][-1]:.1f} / "
               f"recon {stage_times['recon'][-1]:.1f} / "
               f"sim {stage_times['sim'][-1]:.1f} / "
               f"bbox {stage_times['bbox'][-1]:.1f})", flush=True)
 
-    steady = room_times[1:] if len(room_times) > 1 else room_times
+    for p in range(args.passes):
+        for room in rooms:
+            run_room(room, "" if p == 0 else f"_p{p}")
+
+    # Steady = the last pass when multi-pass (every compile bucket warm),
+    # else rooms 2+ of the single pass.
+    if args.passes > 1:
+        steady = room_times[-args.rooms:]
+        sim_profiles = sim_profiles[-args.rooms:]
+        for k in stage_times:
+            stage_times[k] = stage_times[k][-args.rooms:]
+    else:
+        steady = room_times[1:] if len(room_times) > 1 else room_times
+    if args.passes > 1:
+        steady_stage = dict(stage_times)
+        steady_profiles = sim_profiles
+    else:
+        steady_stage = {
+            k: (v[1:] if len(v) > 1 else v) for k, v in stage_times.items()
+        }
+        steady_profiles = sim_profiles[1:] or sim_profiles
     out = {
         "rooms": len(rooms),
+        "passes": args.passes,
         "first_room_seconds": round(room_times[0], 1),
         "steady_room_seconds": round(float(np.mean(steady)), 1),
         "rooms_per_hour_steady": round(3600.0 / float(np.mean(steady)), 1),
         "stage_seconds_steady": {
-            k: round(float(np.mean(v[1:] if len(v) > 1 else v)), 1)
-            for k, v in stage_times.items()
+            k: round(float(np.mean(v)), 1) for k, v in steady_stage.items()
         },
-        # Sim-stage sub-spans (steady = mean over rooms 2+): scan_exec is
-        # the device scan, d2h the tunnel transfer, label_* the annotation
-        # load + on-device 1-NN transfer, export_* the PLY/stats writes.
+        # Sim-stage sub-spans (steady mean): scan_exec is the device scan,
+        # dispatch the beam gen + (cold-bucket) scan compile, d2h the
+        # tunnel transfer, label_* the annotation load + on-device 1-NN
+        # transfer, export_* the PLY/stats writes.
         "sim_subspans_steady": {
             k: round(
-                float(np.mean([
-                    p.get(k, 0.0)
-                    for p in (sim_profiles[1:] or sim_profiles)
-                ])), 2,
+                float(np.mean([p.get(k, 0.0) for p in steady_profiles])), 2,
             )
             for k in sorted({k for p in sim_profiles for k in p})
         },

@@ -8,7 +8,11 @@ LiDAR scan of the mesh -> Chamfer/Hausdorff between scan and TLS cloud.
 Reconstructions are shared through module-scope fixtures (each one costs
 minutes on CPU; round 2 recomputed them per test and the suite ballooned to
 ~22 min).  The voxel-0.02 cluttered rerun duplicates the 0.04 coverage at 4x
-the cost, so it is marked ``slow`` (``--runslow`` includes it).
+the cost, so it is marked ``slow`` (``--runslow`` includes it).  Cloud
+densities are sized to keep the nearest-distance floor (~half the point
+spacing) several times below the voxel-scaled assertions while the 1-core
+CPU suite stays fast: 14k points over ~59 m^2 floors the directed distance
+at ~0.03 m against a 0.24 m threshold.
 """
 
 import numpy as np
@@ -22,7 +26,7 @@ from ipcgen_tpu.trajectory import Waypoint
 from ipcgen_tpu.trajectory.waypoint import waypoints_to_pose_batch
 
 
-def _tls_room(rng, n=24000):
+def _tls_room(rng, n=14000):
     """Dense TLS-style shell cloud of a 4x3x2.5 room (inward surfaces)."""
     pts = rng.uniform(0, 1, (n, 3)).astype(np.float32) * [4, 3, 2.5]
     side = rng.integers(0, 6, n)
@@ -86,7 +90,7 @@ def test_reconstruct_then_scan_matches_tls(room_cloud, room_recon):
     assert np.percentile(d, 95) < 4 * voxel
 
 
-def _tls_cluttered_room(rng, n_shell=20000, n_box=4000):
+def _tls_cluttered_room(rng, n_shell=12000, n_box=2500):
     """TLS-style cloud of a 2.4 x 1.8 x 1.6 room with two furniture boxes
     (concavity + occluded regions behind them)."""
     pts = rng.uniform(0, 1, (n_shell, 3)).astype(np.float32) * [2.4, 1.8, 1.6]

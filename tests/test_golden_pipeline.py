@@ -142,6 +142,11 @@ def golden(request, tmp_path_factory):
     # 1-core CPU suite spends most of its wall time pushing the extra rays
     # through scan + label transfer (measured r4: sim 60.8 -> ~15 s/room).
     cfg.simulation.lidar_horizontal_res = 512
+    # Recon quality metrics (Chamfer sampling etc.) are asserted by their
+    # own unit tests and by test_downstream_fidelity; the golden tests
+    # assert FORMAT only, and the metrics cost ~15 s/room on one core.
+    cfg.evaluation.compute_chamfer = False
+    cfg.evaluation.compute_mesh_quality = False
     cfg.simulation.use_auto_trajectory = True  # exercises trajectory_analysis
     cfg.simulation.use_gpu = False
     cfg.simulation.backend = "xla"

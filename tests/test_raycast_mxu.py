@@ -252,7 +252,7 @@ def test_tile_width_variants_match(rng):
     the sorted-incoherent path's default; see raycast_mxu_components)."""
     verts, tris = _cluttered_room(rng)
     asset = build_scene_asset(verts, tris)
-    n = 2048
+    n = 1024
     origins = rng.uniform([0.5, 0.5, 0.3], [3.4, 2.4, 2.0], (n, 3)).astype(
         np.float32
     )
@@ -261,7 +261,7 @@ def test_tile_width_variants_match(rng):
     ref = raycast_asset_mxu(origins, dirs, asset, t_max=20.0, interpret=True,
                             sort_rays=False)
     h_ref = np.asarray(ref.hit)
-    for tile, n_sub, srt in ((512, 2, False), (256, 1, False), (256, 2, True)):
+    for tile, n_sub, srt in ((512, 2, False), (256, 2, True)):
         res = raycast_asset_mxu(
             origins, dirs, asset, t_max=20.0, interpret=True,
             sort_rays=srt, tile=tile, n_sub=n_sub,
