@@ -222,7 +222,15 @@ def nearest_neighbor_indices_grid(
     was ~4 s of the 10.5 s call — the doubled-cell retry resolves almost
     all of them for ~0.3 s.  Returns (N,) int32 indices into ``refs``.
     """
-    queries = np.asarray(queries, dtype=np.float32)
+    # Device-resident queries stay on device (the sim hot path hands the
+    # scan output straight in — re-uploading 2.5M points over the remote
+    # tunnel costs ~2s/room); the grid itself is built from the HOST refs
+    # either way.
+    q_on_device = isinstance(queries, jax.Array) and not isinstance(
+        queries, np.ndarray
+    )
+    if not q_on_device:
+        queries = np.asarray(queries, dtype=np.float32)
     refs = np.asarray(refs, dtype=np.float32)
     n, m = len(queries), len(refs)
     if n == 0:
@@ -240,9 +248,19 @@ def nearest_neighbor_indices_grid(
         [refs_sorted, np.full((m_pad - m, 3), 1e7, np.float32)]
     )
     n_pad = _bucket_len(-(-n // q_block)) * q_block
-    qp = np.concatenate(
-        [queries, np.full((n_pad - n, 3), lo - 10 * cell_size, np.float32)]
-    ) if n_pad != n else queries
+    if n_pad != n:
+        pad_row = np.asarray(lo - 10 * cell_size, np.float32)
+        if q_on_device:
+            qp = jnp.concatenate(
+                [queries,
+                 jnp.broadcast_to(jnp.asarray(pad_row), (n_pad - n, 3))]
+            )
+        else:
+            qp = np.concatenate(
+                [queries, np.full((n_pad - n, 3), pad_row, np.float32)]
+            )
+    else:
+        qp = queries
 
     idx_sorted, d2, ovf = _grid_nn_core(
         jnp.asarray(qp),
@@ -273,17 +291,23 @@ def nearest_neighbor_indices_grid(
     if not resolved.all():
         unresolved = ~resolved
         n_un = int(unresolved.sum())
+        if q_on_device:
+            # The unresolved subset is small; gather it on device and pull
+            # only those rows to host for the retry/fallback.
+            q_un = np.asarray(
+                queries[jnp.asarray(np.nonzero(unresolved)[0])]
+            )
+        else:
+            q_un = queries[unresolved]
         if _depth < 2 and n_un > 65536:
             result[unresolved] = nearest_neighbor_indices_grid(
-                queries[unresolved], refs, cell_size=2.0 * cell_size,
+                q_un, refs, cell_size=2.0 * cell_size,
                 cap=min(2 * cap, 256), q_block=q_block, _depth=_depth + 1,
             )
         else:
             from ipcgen_tpu.ops.knn import nearest_neighbor_indices
 
-            result[unresolved] = nearest_neighbor_indices(
-                queries[unresolved], refs
-            )
+            result[unresolved] = nearest_neighbor_indices(q_un, refs)
     return result
 
 

@@ -270,6 +270,11 @@ class S3DISSimulator:
             quantized=jax.default_backend() == "tpu"
         )
         sim_scene.profile["d2h"] = time.time() - t0
+        # Hand the device-resident points to the labeled export so the 1-NN
+        # label transfer skips re-uploading the cloud over the tunnel.
+        sim_scene.set_device_label_queries(
+            batch.points.reshape(-1, 3), all_mask
+        )
         t0 = time.time()
         origins = np.stack([w.to_pose_matrix()[:3, 3] for w in waypoints])
 
