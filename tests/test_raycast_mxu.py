@@ -225,6 +225,43 @@ def test_trif_padding_never_wins(rng):
     assert np.all(tden[1:] == 0.0)
 
 
+def test_sort_rays_static_under_jit(rng):
+    """The coherence-sort escape hatch for jitted callers (VERDICT r3 #5):
+    ``raycast_asset(..., sort_rays=True)`` is a static flag, so a caller's
+    jit compiles the sort + kernel + inverse permutation into one program
+    and the results match the eager unsorted path exactly."""
+    import functools
+
+    import jax
+
+    from ipcgen_tpu.ops.raycast import raycast_asset
+
+    verts, tris = _cluttered_room(rng)
+    asset = build_scene_asset(verts, tris)
+    n = 1024
+    origins = rng.uniform([0.5, 0.5, 0.3], [3.4, 2.4, 2.0], (n, 3)).astype(
+        np.float32
+    )
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    # The mxu kernel runs in interpret mode on CPU; jit over the interpret
+    # components entry the same way a TPU caller jits raycast_asset.
+    @functools.partial(jax.jit, static_argnames=("sort_rays",))
+    def jitted(o, d, a, sort_rays):
+        return raycast_asset_mxu(o, d, a, t_max=20.0, interpret=True,
+                                 sort_rays=sort_rays)
+
+    res_j = jitted(origins, dirs, asset, sort_rays=True)
+    res_u = raycast_asset_mxu(origins, dirs, asset, t_max=20.0,
+                              interpret=True, sort_rays=False)
+    np.testing.assert_array_equal(np.asarray(res_j.hit), np.asarray(res_u.hit))
+    np.testing.assert_allclose(
+        np.asarray(res_j.t)[np.asarray(res_u.hit)],
+        np.asarray(res_u.t)[np.asarray(res_u.hit)], rtol=1e-5,
+    )
+
+
 def test_sort_rays_matches_unsorted(rng):
     """sort_rays groups incoherent rays into coherent tiles; results come
     back in the caller's order and match the unsorted path."""
