@@ -293,10 +293,16 @@ def nearest_neighbor_indices_grid(
         n_un = int(unresolved.sum())
         if q_on_device:
             # The unresolved subset is small; gather it on device and pull
-            # only those rows to host for the retry/fallback.
-            q_un = np.asarray(
-                queries[jnp.asarray(np.nonzero(unresolved)[0])]
-            )
+            # only those rows to host for the retry/fallback.  The index
+            # count varies per room — pad it to a bucketed length (repeat
+            # index 0) so the gather shape is shared across rooms (every
+            # distinct eager-op shape costs a fresh ~0.5 s compile on the
+            # remote link).
+            un_idx = np.nonzero(unresolved)[0]
+            pad_len = _bucket_len(len(un_idx), minimum=1024)
+            un_pad = np.zeros(pad_len, np.int64)
+            un_pad[: len(un_idx)] = un_idx
+            q_un = np.asarray(queries[jnp.asarray(un_pad)])[: len(un_idx)]
         else:
             q_un = queries[unresolved]
         if _depth < 2 and n_un > 65536:
