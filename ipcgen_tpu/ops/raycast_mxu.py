@@ -942,14 +942,19 @@ def raycast_mxu_components(
     if auto_sort:
         sort_rays = False
     if tile is None:
-        # Measured (r4 sweep, 160k-tri room, v5e): 1024-ray tiles win on
-        # BOTH paths — coherent 16.9/13.4/9.7 M rays/s at 1024/512/256,
-        # sorted-incoherent 2.20/2.08/1.83.  Smaller tiles do shorten each
-        # bundle's candidate union, but the ~0.5 us fixed per-step cost of
-        # the flat grid grows faster than the union shrinks.
-        tile = TILE
+        # Measured (r4 sweeps, 160k-tri room, v5e): the fixed ~0.5 us
+        # per-grid-step cost dominates the tile tradeoff, so WIDER tiles
+        # win as long as the subtile masks keep the cull granularity at
+        # 256 rays — coherent scans measured 9.7/13.4/17.1/19.6 M rays/s
+        # at tile 256/512/1024/2048 (4096 fails to compile: 16 unrolled
+        # subtile branches exceed what Mosaic accepts).  The sorted-
+        # incoherent path measured best at 1024 (2.20 vs 2.08/1.83 at
+        # 512/256; its candidate unions grow superlinearly past 1024).
+        tile = 1024 if sort_rays else 2048
     if n_sub is None:
-        n_sub = 1 if tile <= 256 else N_SUB
+        # One subtile bit per 256 rays: the measured-best cull granularity
+        # (128-row subtiles regressed: too many pl.when branches per pair).
+        n_sub = max(tile // 256, 1)
     n = origins.shape[0]
     nb = tri_data.shape[0]
     tb = tri_data.shape[2]

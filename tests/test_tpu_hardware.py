@@ -120,7 +120,13 @@ def _chip_available() -> bool:
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
         env.pop("XLA_FLAGS", None)
-        _PROBED = probe_device(timeout_s=90.0, env=env) == "tpu"
+        # 300 s: a fresh jax init over the tunnel tracks the remote
+        # service's health — measured 40 s on a good day and 340 s during
+        # degradation (r4), so a short probe skips these tests exactly
+        # when the service is slow-but-alive.  A genuinely dead tunnel
+        # costs 5 min once per session, which is what the probe is for
+        # (without it each test hangs to its 1200 s timeout).
+        _PROBED = probe_device(timeout_s=300.0, env=env) == "tpu"
     return _PROBED
 
 
