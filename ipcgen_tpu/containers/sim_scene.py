@@ -31,6 +31,40 @@ def _transfer_nn(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     return nearest_neighbor_auto(queries, refs)
 
 
+def _exact_coord_join(queries: np.ndarray, refs: np.ndarray):
+    """Row-exact coordinate join: for each query row, the index of an
+    identical (to 0.1 mm) row in ``refs``.
+
+    S3DIS ``Annotations/*.txt`` files are row subsets of the room cloud —
+    the room txt is literally their concatenation — so the annotation→raw
+    color match (reference s3dis_sim_scene.py:536-539 runs a BallTree 1-NN
+    for it) resolves by exact lookup for essentially every point.  A host
+    hash join costs ~0.1 s where the 630k x 630k 1-NN costs seconds of
+    device time; only genuinely unmatched rows (none in practice) still
+    pay the NN.
+
+    Returns (idx (N,) int64 into refs, matched (N,) bool).
+    """
+    if len(refs) == 0 or len(queries) == 0:
+        return (
+            np.zeros(len(queries), np.int64),
+            np.zeros(len(queries), bool),
+        )
+    q = np.round(np.asarray(queries, np.float64) * 1e4).astype(np.int64)
+    r = np.round(np.asarray(refs, np.float64) * 1e4).astype(np.int64)
+    p1, p2, p3 = np.int64(73856093), np.int64(19349663), np.int64(83492791)
+    qh = (q[:, 0] * p1) ^ (q[:, 1] * p2) ^ (q[:, 2] * p3)
+    rh = (r[:, 0] * p1) ^ (r[:, 1] * p2) ^ (r[:, 2] * p3)
+    order = np.argsort(rh, kind="stable")
+    rh_sorted = rh[order]
+    pos = np.minimum(np.searchsorted(rh_sorted, qh), len(rh_sorted) - 1)
+    cand = order[pos]
+    # Verify coordinates, not just the hash: a collision whose first
+    # sorted slot holds different coordinates simply falls back to the NN.
+    matched = (rh_sorted[pos] == qh) & np.all(r[cand] == q, axis=1)
+    return cand, matched
+
+
 @dataclass
 class SimulationStats:
     """Aggregate simulation statistics (reference: s3dis_sim_scene.py:29-55)."""
@@ -470,11 +504,18 @@ class S3DISSimScene:
             if original_points is None or original_colors is None:
                 colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
             else:
-                idx = _transfer_nn(
-                    np.asarray(points, dtype=np.float32),
-                    np.asarray(original_points, dtype=np.float32),
-                )
-                colors = np.asarray(original_colors)[idx]
+                oc = np.asarray(original_colors)
+                idx_exact, matched = _exact_coord_join(points, original_points)
+                if matched.all():
+                    colors = oc[idx_exact]
+                else:
+                    colors = np.empty((len(points), oc.shape[1]), oc.dtype)
+                    colors[matched] = oc[idx_exact[matched]]
+                    idx = _transfer_nn(
+                        np.asarray(points[~matched], dtype=np.float32),
+                        np.asarray(original_points, dtype=np.float32),
+                    )
+                    colors[~matched] = oc[idx]
             return points, colors, semantic_labels, instance_labels
         except Exception:
             return None, None, None, None

@@ -168,3 +168,37 @@ def test_grid_nn_cap_overflow_falls_back(rng):
         np.linalg.norm(q - refs[e], axis=1),
         atol=1e-6,
     )
+
+
+def test_exact_coord_join_matches_and_falls_back(rng):
+    """The annotation->raw color match resolves duplicated coordinates by
+    exact join (S3DIS annotation files are row subsets of the room cloud);
+    non-member rows report unmatched so the caller's NN handles them."""
+    from ipcgen_tpu.containers.sim_scene import _exact_coord_join
+
+    refs = rng.uniform(0, 8, (5000, 3)).round(4)
+    # queries: a shuffled subset of refs plus some off-cloud points
+    sub = rng.permutation(5000)[:3000]
+    off = rng.uniform(0, 8, (500, 3)).round(4) + 0.00007  # off-grid coords
+    queries = np.concatenate([refs[sub], off])
+    idx, matched = _exact_coord_join(queries, refs)
+    assert matched[:3000].all()
+    np.testing.assert_array_equal(refs[idx[:3000]], refs[sub])
+    # the off-cloud block may collide with a real row only if coordinates
+    # round to an identical 0.1 mm triple - verify reported matches really
+    # are exact, and that clear misses are flagged unmatched
+    hit = matched[3000:]
+    if hit.any():
+        np.testing.assert_array_equal(
+            np.round(off[hit] * 1e4), np.round(refs[idx[3000:][hit]] * 1e4)
+        )
+    assert (~hit).sum() > 400  # overwhelmingly unmatched
+
+
+def test_exact_coord_join_empty():
+    from ipcgen_tpu.containers.sim_scene import _exact_coord_join
+
+    idx, matched = _exact_coord_join(np.zeros((3, 3)), np.zeros((0, 3)))
+    assert len(idx) == 3 and not matched.any()
+    idx, matched = _exact_coord_join(np.zeros((0, 3)), np.zeros((4, 3)))
+    assert len(idx) == 0
