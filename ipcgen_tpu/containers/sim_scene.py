@@ -65,6 +65,133 @@ def _exact_coord_join(queries: np.ndarray, refs: np.ndarray):
     return cand, matched
 
 
+def _load_room_txt_pointcloud(file_path: str):
+    """S3DIS txt: 'x y z r g b [label]' rows (reference: :483-503)."""
+    try:
+        from ipcgen_tpu.utils import native
+
+        data = native.parse_float_table(file_path)
+        if data is None:
+            data = np.loadtxt(file_path)
+        if data.ndim != 2 or data.shape[1] < 6:
+            return None, None
+        points = data[:, :3]
+        colors = data[:, 3:6]
+        if colors.max() > 1.0:
+            colors = colors / 255.0
+        return points, colors
+    except Exception:
+        return None, None
+
+
+def _load_room_original_data(s3dis_data_root, area, room):
+    """Load the raw TLS cloud (xyz + rgb) for color lookup (reference: :429-481)."""
+    if not s3dis_data_root or not area or not room:
+        return None, None
+    import os
+
+    base = f"{s3dis_data_root}/{area}/{room}"
+    candidates = [
+        f"{base}/{room}.txt",
+        f"{base}/pointcloud.ply",
+        f"{base}/Area_{area}_{room}.ply",
+        f"{base}/Area_{area}_{room}_inst_nostring.ply",
+        f"{base}/Area_{area}_{room}_inst_nostring.txt",
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        return None, None
+    try:
+        if path.endswith(".txt"):
+            points, colors = _load_room_txt_pointcloud(path)
+        else:
+            from ipcgen_tpu.io.ply import read_point_cloud
+
+            points, colors, _ = read_point_cloud(path)
+        if points is None or len(points) == 0:
+            return None, None
+        if colors is None:
+            colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
+        return points, colors
+    except Exception:
+        return None, None
+
+
+def load_room_label_data(s3dis_data_root, area, room):
+    """Annotation cloud + exact-join color match against the raw cloud
+    (reference: :505-544).  Returns (points, colors, sem, ins) or Nones."""
+    if not s3dis_data_root or not area or not room:
+        return None, None, None, None
+    try:
+        from ipcgen_tpu.semantic.annotations import S3DISAnnotationLoader
+
+        loader = S3DISAnnotationLoader(s3dis_data_root, verbose=False)
+        room_annotations = loader.load_room_annotations(area, room)
+        if not room_annotations:
+            return None, None, None, None
+        points, semantic_labels, instance_labels = (
+            loader.create_labeled_pointcloud_with_instances(room_annotations)
+        )
+        if len(points) == 0:
+            return None, None, None, None
+        original_points, original_colors = _load_room_original_data(
+            s3dis_data_root, area, room
+        )
+        if original_points is None or original_colors is None:
+            colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
+        else:
+            oc = np.asarray(original_colors)
+            idx_exact, matched = _exact_coord_join(points, original_points)
+            if matched.all():
+                colors = oc[idx_exact]
+            else:
+                colors = np.empty((len(points), oc.shape[1]), oc.dtype)
+                colors[matched] = oc[idx_exact[matched]]
+                idx = _transfer_nn(
+                    np.asarray(points[~matched], dtype=np.float32),
+                    np.asarray(original_points, dtype=np.float32),
+                )
+                colors[~matched] = oc[idx]
+        return points, colors, semantic_labels, instance_labels
+    except Exception:
+        return None, None, None, None
+
+
+class LabelPrefetch:
+    """Background loader for a room's annotation/label data.
+
+    The annotation parse + color join is pure host work (the native text
+    parser is a ctypes call, so the GIL is released for the hot parse), and
+    in the sim stage it sits on the critical path AFTER the scan (the
+    labeled export triggers the lazy load — reference s3dis_sim_scene.py
+    loads it at :379-427 transfer time).  Starting it when the scene loads
+    hides the ~2-3 s parse behind trajectory planning and the device scan;
+    the residual ``join`` wait is what remains visible as ``label_load``.
+    """
+
+    def __init__(self, s3dis_data_root, area, room):
+        import threading
+
+        self.seconds = 0.0  # full background duration (for profiling)
+        self._data = (None, None, None, None)
+        self._thread = threading.Thread(
+            target=self._work, args=(s3dis_data_root, area, room), daemon=True
+        )
+        self._thread.start()
+
+    def _work(self, s3dis_data_root, area, room):
+        t0 = time.time()
+        try:
+            self._data = load_room_label_data(s3dis_data_root, area, room)
+        finally:
+            self.seconds = time.time() - t0
+
+    def join(self):
+        """Block until loaded; returns (points, colors, sem, ins)."""
+        self._thread.join()
+        return self._data
+
+
 @dataclass
 class SimulationStats:
     """Aggregate simulation statistics (reference: s3dis_sim_scene.py:29-55)."""
@@ -162,6 +289,7 @@ class S3DISSimScene:
         s3dis_data_root: Optional[str] = None,
         area: Optional[str] = None,
         room: Optional[str] = None,
+        label_prefetch: Optional["LabelPrefetch"] = None,
     ):
         self.scene_name = scene_name
         self.simulation_config = simulation_config or {}
@@ -173,6 +301,7 @@ class S3DISSimScene:
         self.area = area
         self.room = room
         self._s3dis_cache: Optional[Dict[str, np.ndarray]] = None
+        self.label_prefetch = label_prefetch
         # Wall-clock sub-spans (scan/d2h/label/export), filled by the
         # simulator and by save_results below; surfaced in
         # scripts/bench_pipeline.py so the sim stage is attackable
@@ -385,6 +514,85 @@ class S3DISSimScene:
         self.profile["export_ply_labeled"] = time.time() - t0
 
     # ------------------------------------------------------------------
+    def _ensure_label_cache(self, on_critical_path: bool = True) -> bool:
+        """Populate ``_s3dis_cache`` (prefetch join or direct load).
+
+        ``on_critical_path=False`` is the async-transfer worker: the load
+        time then lands in ``label_load_bg`` (overlapped, off the stage
+        wall) and ``label_load`` is pinned to the visible wait (~0) so the
+        exporter's span subtraction stays exact.
+        """
+        if self._s3dis_cache is not None:
+            return True
+        try:
+            t0 = time.time()
+            if self.label_prefetch is not None:
+                # Loading since scene load; only the residual join wait
+                # lands here (full background duration kept for
+                # transparency).
+                data = self.label_prefetch.join()
+                self.profile["label_load_bg"] = self.label_prefetch.seconds
+            else:
+                data = self._load_s3dis_annotations_with_colors()
+            dt = time.time() - t0
+            if on_critical_path:
+                self.profile["label_load"] = dt
+            else:
+                self.profile.setdefault("label_load", 0.0)
+                self.profile["label_load_bg"] = (
+                    self.profile.get("label_load_bg", 0.0) + dt
+                )
+            s3dis_points, s3dis_colors, s3dis_labels, s3dis_instances = data
+            if s3dis_points is None or len(s3dis_points) == 0:
+                return False
+            self._s3dis_cache = {
+                "points": s3dis_points,
+                "colors": s3dis_colors,
+                "labels": s3dis_labels,
+                "instances": s3dis_instances,
+            }
+            return True
+        except Exception:
+            return False
+
+    def start_label_transfer_async(self) -> None:
+        """Run the 1-NN label transfer on a worker thread.
+
+        Called by the simulator right after the scan's D2H: the transfer's
+        device NN + index download then overlap the host-side frame
+        building, statistics, and the other exports instead of serializing
+        after them (the reference pays this cost inline per frame,
+        s3dis_sim_scene.py:347-356).  ``_get_colors_and_labels_from_s3dis``
+        joins the worker and falls back to the synchronous path if it
+        produced nothing.
+        """
+        dev_q = getattr(self, "_device_queries", None)
+        if dev_q is None or getattr(self, "_device_mask", None) is None:
+            return
+        if not self.s3dis_data_root or not self.area or not self.room:
+            return
+        import threading
+
+        def _work():
+            t0 = time.time()
+            try:
+                if not self._ensure_label_cache(on_critical_path=False):
+                    self._async_idx = None
+                    return
+                refs = np.asarray(
+                    self._s3dis_cache["points"], dtype=np.float32
+                )
+                self._async_idx = _transfer_nn(dev_q.reshape(-1, 3), refs)[
+                    self._device_mask
+                ]
+            except Exception:
+                self._async_idx = None
+            finally:
+                self._async_seconds = time.time() - t0
+
+        self._transfer_thread = threading.Thread(target=_work, daemon=True)
+        self._transfer_thread.start()
+
     def _get_colors_and_labels_from_s3dis(self, points: np.ndarray):
         """1-NN transfer of (rgb, sem, ins) from the TLS cloud to simulated
         points (reference: :379-427 — sklearn BallTree replaced by the tiled
@@ -392,26 +600,25 @@ class S3DISSimScene:
         if not self.s3dis_data_root or not self.area or not self.room:
             return self._get_default_colors_and_labels(len(points))
 
-        if self._s3dis_cache is None:
-            try:
-                t0 = time.time()
-                (
-                    s3dis_points,
-                    s3dis_colors,
-                    s3dis_labels,
-                    s3dis_instances,
-                ) = self._load_s3dis_annotations_with_colors()
-                self.profile["label_load"] = time.time() - t0
-                if s3dis_points is None or len(s3dis_points) == 0:
-                    return self._get_default_colors_and_labels(len(points))
-                self._s3dis_cache = {
-                    "points": s3dis_points,
-                    "colors": s3dis_colors,
-                    "labels": s3dis_labels,
-                    "instances": s3dis_instances,
-                }
-            except Exception:
-                return self._get_default_colors_and_labels(len(points))
+        # Async-transfer worker result (dispatched at collect time).
+        thread = getattr(self, "_transfer_thread", None)
+        if thread is not None:
+            thread.join()
+            self._transfer_thread = None
+            idx = getattr(self, "_async_idx", None)
+            if idx is not None and len(idx) == len(points) \
+                    and self._s3dis_cache is not None:
+                self.profile["label_nn_bg"] = getattr(
+                    self, "_async_seconds", 0.0
+                )
+                return (
+                    self._s3dis_cache["colors"][idx],
+                    self._s3dis_cache["labels"][idx],
+                    self._s3dis_cache["instances"][idx],
+                )
+
+        if not self._ensure_label_cache():
+            return self._get_default_colors_and_labels(len(points))
 
         try:
             refs = np.asarray(self._s3dis_cache["points"], dtype=np.float32)
@@ -434,91 +641,19 @@ class S3DISSimScene:
 
     def _load_s3dis_original_data(self):
         """Load the raw TLS cloud (xyz + rgb) for color lookup (reference: :429-481)."""
-        if not self.s3dis_data_root or not self.area or not self.room:
-            return None, None
-        import os
-
-        base = f"{self.s3dis_data_root}/{self.area}/{self.room}"
-        candidates = [
-            f"{base}/{self.room}.txt",
-            f"{base}/pointcloud.ply",
-            f"{base}/Area_{self.area}_{self.room}.ply",
-            f"{base}/Area_{self.area}_{self.room}_inst_nostring.ply",
-            f"{base}/Area_{self.area}_{self.room}_inst_nostring.txt",
-        ]
-        path = next((p for p in candidates if os.path.exists(p)), None)
-        if path is None:
-            return None, None
-        try:
-            if path.endswith(".txt"):
-                points, colors = self._load_s3dis_txt_pointcloud(path)
-            else:
-                from ipcgen_tpu.io.ply import read_point_cloud
-
-                points, colors, _ = read_point_cloud(path)
-            if points is None or len(points) == 0:
-                return None, None
-            if colors is None:
-                colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
-            return points, colors
-        except Exception:
-            return None, None
+        return _load_room_original_data(
+            self.s3dis_data_root, self.area, self.room
+        )
 
     @staticmethod
     def _load_s3dis_txt_pointcloud(file_path: str):
         """S3DIS txt: 'x y z r g b [label]' rows (reference: :483-503)."""
-        try:
-            from ipcgen_tpu.utils import native
-
-            data = native.parse_float_table(file_path)
-            if data is None:
-                data = np.loadtxt(file_path)
-            if data.ndim != 2 or data.shape[1] < 6:
-                return None, None
-            points = data[:, :3]
-            colors = data[:, 3:6]
-            if colors.max() > 1.0:
-                colors = colors / 255.0
-            return points, colors
-        except Exception:
-            return None, None
+        return _load_room_txt_pointcloud(file_path)
 
     def _load_s3dis_annotations_with_colors(self):
         """Annotation cloud + 1-NN color match against the raw cloud
         (reference: :505-544)."""
-        if not self.s3dis_data_root or not self.area or not self.room:
-            return None, None, None, None
-        try:
-            from ipcgen_tpu.semantic.annotations import S3DISAnnotationLoader
-
-            loader = S3DISAnnotationLoader(self.s3dis_data_root, verbose=False)
-            room_annotations = loader.load_room_annotations(self.area, self.room)
-            if not room_annotations:
-                return None, None, None, None
-            points, semantic_labels, instance_labels = (
-                loader.create_labeled_pointcloud_with_instances(room_annotations)
-            )
-            if len(points) == 0:
-                return None, None, None, None
-            original_points, original_colors = self._load_s3dis_original_data()
-            if original_points is None or original_colors is None:
-                colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
-            else:
-                oc = np.asarray(original_colors)
-                idx_exact, matched = _exact_coord_join(points, original_points)
-                if matched.all():
-                    colors = oc[idx_exact]
-                else:
-                    colors = np.empty((len(points), oc.shape[1]), oc.dtype)
-                    colors[matched] = oc[idx_exact[matched]]
-                    idx = _transfer_nn(
-                        np.asarray(points[~matched], dtype=np.float32),
-                        np.asarray(original_points, dtype=np.float32),
-                    )
-                    colors[~matched] = oc[idx]
-            return points, colors, semantic_labels, instance_labels
-        except Exception:
-            return None, None, None, None
+        return load_room_label_data(self.s3dis_data_root, self.area, self.room)
 
     @staticmethod
     def _get_default_colors_and_labels(num_points: int):

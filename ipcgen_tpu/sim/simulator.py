@@ -31,6 +31,7 @@ from ipcgen_tpu.containers import (
     ScanQuality,
     TriMesh,
 )
+from ipcgen_tpu.containers.sim_scene import LabelPrefetch
 from ipcgen_tpu.models import (
     DualAxisLidarIntrinsics,
     Indoor8LineLidarIntrinsics,
@@ -126,6 +127,16 @@ class S3DISSimulator:
         # Built ONCE here; resident in HBM for the whole trajectory (the
         # reference instead rebuilt its BVH on every cast_rays call).
         self.scene_asset = build_scene_asset(mesh.vertices, mesh.triangles)
+
+        # Start loading this room's annotation/label data in the background
+        # NOW: the labeled export needs it only after the scan completes, so
+        # its ~2-3 s disk parse hides behind trajectory planning + the scan
+        # (the native parser is a GIL-releasing ctypes call).
+        root = self.config.get("s3dis_data_root")
+        area, room = self.config.get("area"), self.config.get("room")
+        self._label_prefetch = (
+            LabelPrefetch(root, area, room) if root and area and room else None
+        )
 
         self.trajectory_generator = SmartTrajectoryGenerator(
             room_bounds_obj.to_dict(),
@@ -248,6 +259,7 @@ class S3DISSimulator:
             s3dis_data_root=self.config.get("s3dis_data_root", None),
             area=self.config.get("area", None),
             room=self.config.get("room", None),
+            label_prefetch=getattr(self, "_label_prefetch", None),
         )
         total_points_per_scan = self.lidar_config.get_total_points_per_scan()
         room_volume = self.scene.room_bounds.get_volume()
@@ -275,6 +287,11 @@ class S3DISSimulator:
         sim_scene.set_device_label_queries(
             batch.points.reshape(-1, 3), all_mask
         )
+        # Dispatch the 1-NN label transfer on a worker thread NOW: its
+        # device argmin + index download overlap the host-side frame
+        # building / statistics / non-labeled exports below instead of
+        # serializing after them in save_results.
+        sim_scene.start_label_transfer_async()
         t0 = time.time()
         origins = np.stack([w.to_pose_matrix()[:3, 3] for w in waypoints])
 
