@@ -592,21 +592,83 @@ def main():
                 result["rays_per_sec"] / EMBREE_SOCKET_BOUND_RPS, 2
             ),
             "workloads": extras,
+            # End-to-end pipeline (rooms/hour) from the committed artifact
+            # written by `scripts/bench_pipeline.py --json-out
+            # PIPELINE_BENCH.json` — the product number exists as data, not
+            # markdown (VERDICT r4 item 2).
+            "pipeline": _pipeline_summary(),
             "note": (
-                "BENCH_r01's 1.3e9 rays/s is retracted: "
-                "jax.block_until_ready is not a completion barrier on the "
-                "remote-attached device link, so r01 timed dispatch, not "
-                "execution. All r02+ numbers use a forced host-read "
-                "barrier (utils/host.py sync; docs/BENCHMARKS.md). "
-                "r03+: throughput metrics queue back-to-back calls behind "
-                "ONE terminal barrier (in-order single-device stream), "
-                "amortizing the tunnel's ~50 ms per-dispatch round trip "
-                "the way production's multi-room batches do; the "
-                "per_call_seconds fields carry the unamortized latency."
+                "methodology (honest barriers, r01 retraction, amortized "
+                "vs per-call): docs/BENCHMARKS.md"
             ),
         },
     }
-    print(json.dumps(out))
+    # Full details -> BENCH_LATEST.json (committed artifact).  stdout gets
+    # a COMPACT line: the driver records only the last 2000 chars of
+    # stdout, and r04's ~2.2 kB line got its head truncated there
+    # (BENCH_r04.json: parsed null).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LATEST.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    rm = production.get("reconstructed_mesh_32line", {})
+    blk = production.get("blk2go_dual_axis_80wp", {})
+    pipe = out["details"]["pipeline"]
+    compact = {
+        "metric": metric,
+        "value": round(headline, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "details": {
+            "platform": result["platform"],
+            "recon_mesh_faces": rm.get("mesh_faces"),
+            "recon_seconds_steady": rm.get("recon_seconds_steady"),
+            "box_160k_rays_per_sec": round(result["rays_per_sec"], 1),
+            "blk2go_full_noise_rays_per_sec": blk.get("rays_per_sec"),
+            "pipeline": {
+                k: pipe.get(k)
+                for k in (
+                    "rooms_per_hour_steady", "steady_room_seconds",
+                    "stage_seconds_steady", "measured_at", "source",
+                )
+            },
+            "note": "full details: BENCH_LATEST.json (committed); "
+                    "methodology: docs/BENCHMARKS.md",
+        },
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard tail budget: drop to the headline alone
+        compact["details"] = {"note": "see BENCH_LATEST.json"}
+        line = json.dumps(compact)
+    print(line)
+
+
+def _pipeline_summary():
+    """Compact pipeline numbers from the committed PIPELINE_BENCH.json."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PIPELINE_BENCH.json"
+    )
+    try:
+        with open(path) as f:
+            p = json.load(f)
+    except Exception:
+        return {"error": "PIPELINE_BENCH.json missing - run "
+                "scripts/bench_pipeline.py --passes 2 --json-out it"}
+    spans = p.get("sim_subspans_steady", {})
+    top = dict(
+        sorted(
+            ((k, v) for k, v in spans.items() if isinstance(v, float)),
+            key=lambda kv: -kv[1],
+        )[:6]
+    )
+    return {
+        "rooms_per_hour_steady": p.get("rooms_per_hour_steady"),
+        "steady_room_seconds": p.get("steady_room_seconds"),
+        "stage_seconds_steady": p.get("stage_seconds_steady"),
+        "sim_subspans_top": top,
+        "protocol": p.get("protocol"),
+        "measured_at": p.get("timestamp"),
+        "source": "committed artifact PIPELINE_BENCH.json",
+    }
 
 
 if __name__ == "__main__":

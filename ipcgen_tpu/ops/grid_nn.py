@@ -30,6 +30,7 @@ All array shapes are bucketed, so every room shares one compiled program.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -315,6 +316,272 @@ def nearest_neighbor_indices_grid(
 
             result[unresolved] = nearest_neighbor_indices(q_un, refs)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Persistent slab-table 1-NN for the label transfer (the sim-stage hot path)
+# ---------------------------------------------------------------------------
+#
+# The CSR core above gathers candidates row by row; at label-transfer scale
+# (2.5 M queries x 630 k refs) its per-row gather traffic dominates.  The slab
+# layout instead stores each hash bucket as a dense (cap, 3) block of a
+# (T, cap, 3) table, so one bucket-id gather fetches a contiguous 288-byte
+# slab — measured 0.83 s vs 2.98 s for the CSR core on the production shape
+# (scripts/grid_core_variants.py, TPU v5e).  Exactness contract is identical:
+# accept only d <= h/2 with no visited-bucket overflow, ladder the rest.
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "q_block"))
+def _slab_nn_core(
+    queries: jnp.ndarray,  # (N, 3), N multiple of q_block
+    table: jnp.ndarray,  # (T, cap, 3) bucket slabs (pad rows at 1e7)
+    counts: jnp.ndarray,  # (T,) int32 TRUE bucket populations (pre-cap)
+    slot_ids: jnp.ndarray,  # (T*cap,) int32 original ref id per slab slot
+    lo: jnp.ndarray,
+    inv_h: jnp.ndarray,
+    dims: jnp.ndarray,
+    cap: int,
+    q_block: int,
+):
+    """Provably-exact encoded 1-NN per query over the 2x2x2 nearest cells.
+
+    Returns int32 ids into the ORIGINAL ref order, -1 where the hashed
+    answer is not provably exact.  Acceptance uses the PER-QUERY margin to
+    the searched window's boundary — min over axes of the distance from the
+    query to the 2-cell box it is guaranteed to have searched, in
+    [0.5h, 1h] — rather than the worst-case 0.5h: any point strictly closer
+    than that margin lies inside the searched window, so a found hit within
+    it cannot be beaten.  The wider radius resolves meaningfully more rows
+    per level for zero extra gathers.
+    """
+    t_size = counts.shape[0]
+    n_qt = queries.shape[0] // q_block
+    q_tiles = queries.reshape(n_qt, q_block, 3)
+    offs = jnp.array(
+        [[ox, oy, oz] for ox in (0, 1) for oy in (0, 1) for oz in (0, 1)],
+        jnp.int32,
+    )
+
+    def per_tile(q):
+        gpos = (q - lo) * inv_h  # grid-unit coordinates
+        base = jnp.floor(gpos - 0.5).astype(jnp.int32)
+        # Margin (grid units) from the query to the boundary of the
+        # [base, base+2] window it searches; frac is in [0.5, 1.5).
+        frac = gpos - base.astype(jnp.float32)
+        margin = jnp.min(jnp.minimum(frac, 2.0 - frac), axis=-1)
+        r_acc = (margin - 1e-3) / inv_h  # world units, float-safe shrink
+        c = base[:, None, :] + offs[None, :, :]  # (B, 8, 3)
+        in_grid = jnp.all((c >= 0) & (c < dims), axis=-1)  # (B, 8)
+        cu = c.astype(jnp.uint32)
+        hsh = (
+            cu[..., 0] * jnp.uint32(_P1)
+            ^ cu[..., 1] * jnp.uint32(_P2)
+            ^ cu[..., 2] * jnp.uint32(_P3)
+        )
+        cid = (hsh & jnp.uint32(t_size - 1)).astype(jnp.int32)  # (B, 8)
+        cnt = counts[cid]
+        # Buckets beyond `cap` are truncated in the slab — flag so the
+        # ladder retries (a truncated bucket could hide the true nearest).
+        ovf = jnp.any(in_grid & (cnt > cap), axis=1)
+        cand = table[cid]  # (B, 8, cap, 3) contiguous slab gather
+        nvalid = jnp.minimum(cnt, cap)
+        valid = (
+            jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+            < nvalid[..., None]
+        ) & in_grid[..., None]
+        d2 = jnp.sum((q[:, None, None, :] - cand) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf).reshape(q_block, 8 * cap)
+        slot = (
+            cid[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
+        ).reshape(q_block, 8 * cap)
+        best = jnp.argmin(d2, axis=1)
+        bd = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+        bslot = jnp.take_along_axis(slot, best[:, None], axis=1)[:, 0]
+        bi = slot_ids[bslot]
+        exact = (bd <= r_acc * r_acc) & ~ovf
+        return jnp.where(exact, bi, -1)
+
+    idx = jax.lax.map(per_tile, q_tiles)
+    return idx.reshape(-1)
+
+
+def _build_slab_host(refs: np.ndarray, cell_size: float, cap: int,
+                     t_bits: int):
+    """Host-side slab construction: (table (T,cap,3), counts (T,), slot_ids
+    (T*cap,), lo, inv_h, dims).  Rows beyond ``cap`` per bucket are dropped
+    (their buckets keep the TRUE count so queries there overflow-flag)."""
+    lo = refs.min(axis=0)
+    extent = np.maximum(refs.max(axis=0) - lo, 1e-6)
+    inv_h = 1.0 / cell_size
+    dims = np.maximum(np.ceil(extent * inv_h).astype(np.int64) + 1, 1)
+    cells = np.clip(np.floor((refs - lo) * inv_h).astype(np.int64), 0, dims - 1)
+    t_size = 1 << t_bits
+    cu = cells.astype(np.uint32)
+    bucket = (
+        (cu[:, 0] * np.uint32(_P1))
+        ^ (cu[:, 1] * np.uint32(_P2))
+        ^ (cu[:, 2] * np.uint32(_P3))
+    ) & np.uint32(t_size - 1)
+    order = np.argsort(bucket, kind="stable")
+    counts = np.bincount(bucket.astype(np.int64), minlength=t_size)
+    starts = np.zeros(t_size + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot_in_bucket = (
+        np.arange(len(refs)) - starts[bucket.astype(np.int64)][order]
+    )
+    keep = slot_in_bucket < cap
+    flat = (
+        bucket.astype(np.int64)[order][keep] * cap + slot_in_bucket[keep]
+    )
+    table = np.full((t_size * cap, 3), 1e7, np.float32)
+    table[flat] = refs[order][keep]
+    slot_ids = np.zeros(t_size * cap, np.int32)
+    slot_ids[flat] = order[keep].astype(np.int32)
+    return (
+        table.reshape(t_size, cap, 3),
+        np.minimum(counts, 2**31 - 1).astype(np.int32),
+        slot_ids,
+        lo.astype(np.float32),
+        float(inv_h),
+        dims,
+    )
+
+
+class LabelGrid:
+    """Persistent two-level slab grid for exact 1-NN label transfer.
+
+    Built ONCE per room (ideally inside the label prefetch thread, hidden
+    behind the scan) and queried per transfer — the r4 design rebuilt the
+    hash grid, re-uploaded the refs, and bottomed out in a host exact join
+    on every call, which the r4 probe measured at 7.0 s of an 11.9 s
+    transfer (scripts/label_transfer_probe.py).  Levels:
+
+    - L0: cell h (cap-occupancy-chosen), cap 24 — resolves ~85-95 % of
+      surface queries at 0.83 s for 2.6 M (measured);
+    - L1: cell 4h, wider cap — acceptance radius 2h catches off-surface
+      noise and L0 bucket overflows;
+    - residue: exact tiled 1-NN (ops.knn), expected ~0 rows in production.
+
+    Replaces the sklearn BallTree of reference
+    containers/s3dis_sim_scene.py:415-424.
+    """
+
+    Q_BLOCK = 32768  # measured-best slab tile (grid_core_variants.py)
+    Q_BLOCK_L1 = 8192
+
+    def __init__(self, refs: np.ndarray, cap0: int = 24, cap1: int = 384):
+        refs = np.asarray(refs, dtype=np.float32)
+        self.refs = refs
+        self.n_refs = len(refs)
+        if self.n_refs == 0:
+            return
+        self.h0 = _choose_cell_size(refs, cap0)
+        self.cap0 = cap0
+        self.cap1 = cap1
+        t_bits0 = min(max(int(2 * self.n_refs - 1).bit_length(), 10), 18)
+        tab0, cnt0, sid0, lo0, invh0, dims0 = _build_slab_host(
+            refs, self.h0, cap0, t_bits0
+        )
+        # L1 occupied-cell count is ~1/16 of L0's — a small table suffices
+        # and keeps the slab under ~75 MB.
+        t_bits1 = min(max(t_bits0 - 4, 10), 14)
+        tab1, cnt1, sid1, lo1, invh1, dims1 = _build_slab_host(
+            refs, 4.0 * self.h0, cap1, t_bits1
+        )
+        self._lvl = []
+        for tab, cnt, sid, lo, invh, dims, cap in (
+            (tab0, cnt0, sid0, lo0, invh0, dims0, cap0),
+            (tab1, cnt1, sid1, lo1, invh1, dims1, cap1),
+        ):
+            self._lvl.append(
+                dict(
+                    table=jnp.asarray(tab),
+                    counts=jnp.asarray(cnt),
+                    slot_ids=jnp.asarray(sid),
+                    lo=jnp.asarray(lo, jnp.float32),
+                    inv_h=jnp.float32(invh),
+                    dims=jnp.asarray(dims.astype(np.int32)),
+                    cap=int(cap),
+                )
+            )
+        self._far = lo0 - np.float32(10.0 / max(invh0, 1e-6))
+        self.profile: dict = {}
+
+    def block_until_ready(self) -> None:
+        if self.n_refs:
+            self._lvl[-1]["table"].block_until_ready()
+
+    def _run_level(self, q_dev, lvl: int, q_block: int):
+        p = self._lvl[lvl]
+        return _slab_nn_core(
+            q_dev, p["table"], p["counts"], p["slot_ids"], p["lo"],
+            p["inv_h"], p["dims"], p["cap"], q_block,
+        )
+
+    def query(self, queries) -> np.ndarray:
+        """Exact 1-NN indices into ``refs`` for host OR device queries."""
+        if self.n_refs == 0:
+            return np.zeros((len(queries),), np.int32)
+        q_on_device = isinstance(queries, jax.Array) and not isinstance(
+            queries, np.ndarray
+        )
+        n = len(queries)
+        if n == 0:
+            return np.zeros((0,), np.int32)
+        prof = self.profile = {}
+        t0 = time.time()
+        qb = self.Q_BLOCK
+        n_pad = _bucket_len(-(-n // qb), minimum=1) * qb
+        if n_pad != n:
+            pad_row = np.asarray(self._far, np.float32)
+            if q_on_device:
+                qp = jnp.concatenate(
+                    [queries,
+                     jnp.broadcast_to(jnp.asarray(pad_row), (n_pad - n, 3))]
+                )
+            else:
+                qp = np.concatenate(
+                    [np.asarray(queries, np.float32),
+                     np.full((n_pad - n, 3), pad_row, np.float32)]
+                )
+        else:
+            qp = queries
+        q_dev = jnp.asarray(qp)
+        idx_enc = np.asarray(self._run_level(q_dev, 0, qb)[:n])
+        prof["l0"] = time.time() - t0
+        t0 = time.time()
+        result = np.maximum(idx_enc, 0).astype(np.int32)
+        unresolved = idx_enc < 0
+        prof["host"] = time.time() - t0
+        if not unresolved.any():
+            return result
+
+        # L1 (cell 4h): gather the unresolved rows ON DEVICE (no host round
+        # trip of coordinates), bucket-padded so shapes are shared across
+        # rooms.
+        t0 = time.time()
+        un_idx = np.flatnonzero(unresolved)
+        prof["l1_rows"] = len(un_idx)
+        qb1 = self.Q_BLOCK_L1
+        pad1 = _bucket_len(-(-len(un_idx) // qb1), minimum=1) * qb1
+        un_pad = np.zeros(pad1, np.int64)
+        un_pad[: len(un_idx)] = un_idx
+        q_un_dev = q_dev[jnp.asarray(un_pad)]
+        idx1 = np.asarray(self._run_level(q_un_dev, 1, qb1))[: len(un_idx)]
+        result[un_idx] = np.maximum(idx1, 0).astype(np.int32)
+        prof["l1"] = time.time() - t0
+
+        # Residue (far-off-surface / double-overflow rows): exact join.
+        still = un_idx[idx1 < 0]
+        prof["residue_rows"] = len(still)
+        if len(still):
+            t0 = time.time()
+            from ipcgen_tpu.ops.knn import nearest_neighbor_indices
+
+            q_still = np.asarray(q_dev[jnp.asarray(still)])
+            result[still] = nearest_neighbor_indices(q_still, self.refs)
+            prof["residue"] = time.time() - t0
+        return result
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "k", "q_block"))

@@ -261,6 +261,9 @@ class S3DISSimulator:
             room=self.config.get("room", None),
             label_prefetch=getattr(self, "_label_prefetch", None),
         )
+        # The scene owns the prefetch now; dropping the simulator's handle
+        # lets its pinned room cloud + grid free with the scene.
+        self._label_prefetch = None
         total_points_per_scan = self.lidar_config.get_total_points_per_scan()
         room_volume = self.scene.room_bounds.get_volume()
         # Download only points + mask (~60% of the full batch): incident

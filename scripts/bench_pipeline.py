@@ -93,6 +93,11 @@ def main():
         "dims, block counts), so with few rooms the single-pass 'steady' "
         "mean still pays one-off bucket compiles that a production "
         "272-room batch amortizes to ~zero; pass 2 has every bucket warm.")
+    ap.add_argument(
+        "--json-out", default=None,
+        help="also write the result JSON to this path (e.g. the committed "
+        "PIPELINE_BENCH.json artifact — pipeline numbers must exist as "
+        "data, not only as stdout/markdown)")
     args = ap.parse_args()
 
     from ipcgen_tpu.utils.device_probe import wait_for_device
@@ -215,6 +220,12 @@ def main():
         }
         steady_profiles = sim_profiles[1:] or sim_profiles
     out = {
+        "protocol": (
+            f"{args.rooms} synthetic ~{args.shell_points // 1000}k-pt rooms, "
+            f"BLK2GO {args.waypoints}-waypoint auto trajectory, "
+            f"{args.passes}-pass in-process (last pass = bucket-warm steady)"
+        ),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "rooms": len(rooms),
         "passes": args.passes,
         "first_room_seconds": round(room_times[0], 1),
@@ -244,6 +255,10 @@ def main():
         },
     }
     print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json_out}", flush=True)
 
 
 if __name__ == "__main__":

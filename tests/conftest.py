@@ -55,12 +55,26 @@ def pytest_addoption(parser):
         "--runslow", action="store_true", default=False,
         help="also run tests marked slow",
     )
+    parser.addoption(
+        "--hardware", action="store_true", default=False,
+        help="also run tests marked tpu (real-chip hardware tests)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
-        return
+    run_slow = config.getoption("--runslow") or os.environ.get("RUN_SLOW")
+    # Real-chip tests are opt-in (-m tpu still works with --hardware): a
+    # default CPU suite run should not pay the remote tunnel's 300 s probe
+    # plus ~5 min of on-chip parity time (VERDICT r4 item 7).  The release
+    # gate (scripts/release_gate_lroom.py) and `pytest --hardware -m tpu`
+    # run them explicitly.
+    run_hw = config.getoption("--hardware") or os.environ.get("RUN_HARDWARE")
     skip_slow = pytest.mark.skip(reason="slow; pass --runslow to include")
+    skip_hw = pytest.mark.skip(
+        reason="real-chip test; pass --hardware (or RUN_HARDWARE=1) to run"
+    )
     for item in items:
-        if "slow" in item.keywords:
+        if not run_slow and "slow" in item.keywords:
             item.add_marker(skip_slow)
+        if not run_hw and "tpu" in item.keywords:
+            item.add_marker(skip_hw)

@@ -202,3 +202,94 @@ def test_exact_coord_join_empty():
     assert len(idx) == 3 and not matched.any()
     idx, matched = _exact_coord_join(np.zeros((0, 3)), np.zeros((4, 3)))
     assert len(idx) == 0
+
+
+# ---------------------------------------------------------------------------
+# LabelGrid: the persistent two-level slab grid behind the sim label transfer
+# ---------------------------------------------------------------------------
+
+def test_label_grid_exact_vs_brute(rng):
+    """LabelGrid answers equal the exact 1-NN in distance on a mix of
+    on-surface, noisy, and far off-surface queries (every ladder level)."""
+    from ipcgen_tpu.ops.grid_nn import LabelGrid
+
+    refs = _shell(rng, 30000)
+    queries = np.concatenate(
+        [
+            _shell(rng, 2000)
+            + rng.normal(0, 0.004, (2000, 3)).astype(np.float32),
+            _shell(rng, 300)
+            + rng.normal(0, 0.25, (300, 3)).astype(np.float32),  # L1 rows
+            rng.uniform(30, 40, (20, 3)).astype(np.float32),  # exact residue
+        ]
+    )
+    grid = LabelGrid(refs)
+    g = grid.query(queries)
+    e = nearest_neighbor_indices(queries, refs)
+    dg = np.linalg.norm(queries - refs[g], axis=1)
+    de = np.linalg.norm(queries - refs[e], axis=1)
+    # One-sided: the grid must never be farther than the tiled exact join;
+    # it IS occasionally closer, because the exact join's matmul-form
+    # distances carry f32 cancellation error the grid's direct (q-r)^2
+    # does not.
+    assert (dg <= de + 1e-5).all()
+
+
+def test_label_grid_device_queries(rng):
+    import jax.numpy as jnp
+
+    from ipcgen_tpu.ops.grid_nn import LabelGrid
+
+    refs = _shell(rng, 12000)
+    q = _shell(rng, 1500) + rng.normal(0, 0.01, (1500, 3)).astype(np.float32)
+    grid = LabelGrid(refs)
+    gd = grid.query(jnp.asarray(q))
+    gh = grid.query(q)
+    np.testing.assert_array_equal(gd, gh)
+    e = nearest_neighbor_indices(q, refs)
+    np.testing.assert_allclose(
+        np.linalg.norm(q - refs[gd], axis=1),
+        np.linalg.norm(q - refs[e], axis=1),
+        atol=1e-5,
+    )
+
+
+def test_label_grid_reuse_and_edges(rng):
+    from ipcgen_tpu.ops.grid_nn import LabelGrid
+
+    refs = _shell(rng, 5000)
+    grid = LabelGrid(refs)
+    q1 = _shell(rng, 700)
+    q2 = _shell(rng, 41)  # non-multiple of every block size
+    for q in (q1, q2):
+        g = grid.query(q)
+        e = nearest_neighbor_indices(q, refs)
+        np.testing.assert_allclose(
+            np.linalg.norm(q - refs[g], axis=1),
+            np.linalg.norm(q - refs[e], axis=1),
+            atol=1e-5,
+        )
+    assert grid.query(np.zeros((0, 3), np.float32)).shape == (0,)
+
+
+def test_label_grid_dense_cluster_overflow(rng):
+    """Cap-overflowing buckets ladder down without losing exactness."""
+    from ipcgen_tpu.ops.grid_nn import LabelGrid
+
+    cluster = (rng.normal(0, 0.002, (4000, 3)) + 1.0).astype(np.float32)
+    sparse = rng.uniform(0, 2, (300, 3)).astype(np.float32)
+    refs = np.concatenate([cluster, sparse])
+    q = np.concatenate(
+        [
+            (rng.normal(0, 0.002, (200, 3)) + 1.0).astype(np.float32),
+            rng.uniform(0, 2, (100, 3)).astype(np.float32),
+        ]
+    )
+    grid = LabelGrid(refs)
+    g = grid.query(q)
+    e = nearest_neighbor_indices(q, refs)
+    np.testing.assert_allclose(
+        np.linalg.norm(q - refs[g], axis=1),
+        np.linalg.norm(q - refs[e], axis=1),
+        atol=1e-6,
+    )
