@@ -99,11 +99,12 @@ def _measure(backend: str, num_waypoints: int, reps: int = 3,
     key = jax.random.PRNGKey(0)
 
     def run():
-        # outputs="minimal" is the product path (sim/simulator.py
-        # collect_scan): points+mask on device, angles/ranges derived
-        # host-side — identical deliverable to the reference engine's.
+        # outputs="unordered" is the product path (sim/simulator.py
+        # collect_scan): points+mask on device in kernel patch order,
+        # angles/ranges derived host-side — identical deliverable to the
+        # reference engine's (collect_scan only mask-selects per frame).
         return scan_waypoints(asset, intr, poses, key=key, backend=backend,
-                              outputs="minimal")
+                              outputs="unordered")
 
     dt, dt_call, batch = _timed(run, lambda b: b.t, reps=reps)
     n_rays = int(np.prod(batch.t.shape))
@@ -407,7 +408,7 @@ def _production_workloads():
 
     def run_recon_scan():
         return scan_waypoints(recon_asset, intr32, poses, key=key,
-                              outputs="minimal")
+                              outputs="unordered")
 
     dt, dt_call, batch = _timed(run_recon_scan, lambda b: b.t)
     n_rays = int(np.prod(batch.t.shape))
@@ -442,7 +443,7 @@ def _production_workloads():
     def run_blk():
         return scan_waypoints(
             box_asset, blk, poses80, key=key, apply_range_noise=True,
-            outputs="minimal",
+            outputs="unordered",
         )
 
     dt, dt_call, batch = _timed(run_blk, lambda b: b.t)

@@ -235,7 +235,9 @@ def _inverse_perm(perm_bytes: bytes, r: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_range", "backend", "range_noise_std", "outputs"),
+    static_argnames=(
+        "max_range", "backend", "range_noise_std", "outputs", "has_keep"
+    ),
 )
 def _scan_core(
     asset: SceneAsset,
@@ -249,6 +251,7 @@ def _scan_core(
     backend: str,
     range_noise_std: float,
     outputs: str = "full",
+    has_keep: bool = True,
 ) -> ScanBatch:
     """The whole post-beam-gen scan as ONE compiled program: pose transform,
     ray permutation, raycast, range noise, range mask, and both incidence
@@ -299,8 +302,14 @@ def _scan_core(
         t = jnp.where(hit, jnp.maximum(t + sigma, 1e-3), t)
         points = origins + dirs_wp * t[..., None]
 
-    mask = hit & jnp.broadcast_to(keep[:, perm], (w, r)) & (t < max_range)
-    if outputs == "minimal":
+    # Profiles without dropout (the 8/32-line grids) have keep == ones by
+    # construction; ``has_keep`` is static, so the (W, R) keep gather + AND
+    # compile away entirely on those profiles.
+    if has_keep:
+        mask = hit & jnp.broadcast_to(keep[:, perm], (w, r)) & (t < max_range)
+    else:
+        mask = hit & (t < max_range)
+    if outputs in ("minimal", "unordered"):
         # Product hot path (sim/simulator.py collect_scan) consumes ONLY
         # points + mask (+ t for the completion barrier); incident angles
         # and ranges are exact host-side functions of (point - origin)
@@ -308,7 +317,23 @@ def _scan_core(
         # and their inverse-permutation gathers also lets XLA dead-code-
         # eliminate finalize's (R, 4) tri_fin gather (normals/tri_id are
         # its only consumers) — measured ~10% off the fused scan.
+        #
+        # "unordered" additionally skips the remaining inverse
+        # permutations: rays come back in PATCH order, not beam order.
+        # Consumers that only mask-select per waypoint (the simulator:
+        # per-frame point sets, host-derived angles/ranges, label-transfer
+        # queries) are order-free; anything needing beam order uses
+        # "minimal"/"full".
         zero_wr = jnp.zeros((w, r), jnp.float32)
+        if outputs == "unordered":
+            return ScanBatch(
+                points=jnp.where(mask[..., None], points, 0.0),
+                t=jnp.where(mask, t, jnp.inf),
+                mask=mask,
+                incident_angles=zero_wr,
+                normals=jnp.zeros((w, r, 3), jnp.float32),
+                true_incidence=zero_wr,
+            )
         return ScanBatch(
             points=jnp.where(mask[..., None], points, 0.0)[:, inv_perm],
             t=jnp.where(mask, t, jnp.inf)[:, inv_perm],
@@ -363,6 +388,10 @@ def scan_waypoints(
         computes only points/t/mask (incident_angles, normals,
         true_incidence come back zero-filled) — the sim driver's hot
         path, which derives angles/ranges host-side from the points.
+        "unordered" is "minimal" without the inverse permutations: rays
+        within each waypoint come back in kernel PATCH order rather than
+        beam order (the same SET of hits — use it when downstream only
+        mask-selects per waypoint, as the simulator does).
 
     Semantics parity with the reference engine
     (raycast_engine_cpu.py:75-111): hits beyond ``max_range`` are dropped
@@ -402,4 +431,7 @@ def scan_waypoints(
         backend,
         sigma,
         outputs,
+        # Grid profiles have no dropout: keep is all-ones by construction
+        # (sensor_dirs_batch), so its gather+AND compile away statically.
+        has_keep=isinstance(intrinsics, DualAxisLidarIntrinsics),
     )

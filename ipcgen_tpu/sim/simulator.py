@@ -243,8 +243,10 @@ class S3DISSimulator:
             apply_range_noise=bool(self.config.get("apply_range_noise", False)),
             # collect_scan consumes only points + mask and derives angles/
             # ranges host-side; skipping the angle/normal outputs lets XLA
-            # DCE the finalize gather and four inverse permutations.
-            outputs="minimal",
+            # DCE the finalize gather, and "unordered" drops the remaining
+            # inverse permutations too (collect_scan only mask-selects per
+            # waypoint, so the in-waypoint ray order is immaterial).
+            outputs="unordered",
         )
 
     def collect_scan(

@@ -66,6 +66,49 @@ def test_minimal_equals_full_bit_identical(box_room, noise):
         )
 
 
+@pytest.mark.parametrize("noise", [False, True])
+def test_unordered_is_a_permutation_of_minimal(box_room, noise):
+    """"unordered" (the sim driver's path since r5) returns the same per-
+    waypoint HIT SETS as "minimal" — identical masked (point, t) multisets,
+    just in kernel patch order instead of beam order."""
+    asset = _asset(box_room)
+    _, poses = _poses()
+    for intr in (
+        Indoor8LineLidarIntrinsics(
+            vertical_res=4,
+            horizontal_res=90,
+            vertical_degrees=[10, 0, -10, -20],
+            max_range=20.0,
+        ),
+        DualAxisLidarIntrinsics(point_rate=24000, scan_duration=0.05),
+    ):
+        key = jax.random.PRNGKey(11)
+        mi = scan_waypoints(
+            asset, intr, poses, key=key, backend="xla",
+            apply_range_noise=noise, outputs="minimal",
+        )
+        un = scan_waypoints(
+            asset, intr, poses, key=key, backend="xla",
+            apply_range_noise=noise, outputs="unordered",
+        )
+        m_mask = np.asarray(mi.mask)
+        u_mask = np.asarray(un.mask)
+        assert m_mask.sum(axis=1).tolist() == u_mask.sum(axis=1).tolist()
+        for w in range(mi.num_waypoints):
+            a = np.c_[np.asarray(mi.points[w])[m_mask[w]],
+                      np.asarray(mi.t[w])[m_mask[w]]]
+            b = np.c_[np.asarray(un.points[w])[u_mask[w]],
+                      np.asarray(un.t[w])[u_mask[w]]]
+            a = a[np.lexsort(a.T)]
+            b = b[np.lexsort(b.T)]
+            # atol, not exact: the two modes are different compiled
+            # programs, and XLA's FMA contraction choices produce 1-ulp
+            # differences on the noise-add path (measured: 7/720 values
+            # off by 1 ulp) — distinct rays differ by >= mm, so sorted
+            # row pairing is unaffected.
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_simulator_host_derivations_match_full_device_outputs(
     box_room, tmp_path
 ):
