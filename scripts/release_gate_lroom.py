@@ -11,12 +11,17 @@ the same format contracts the golden test asserts, so production-shaped
 concave geometry is proven to hold its perf AND parity on the hardware the
 framework targets.
 
-Prints one JSON line with per-stage seconds; exits nonzero on any parity
-failure.  Run while nothing else touches the chip.
+Runs the five stages TWICE in-process: pass 1 is the cold run (fresh
+compile buckets for the fixture's shapes), pass 2 is the bucket-warm
+steady run — the number production L-rooms actually pay (VERDICT r4
+item 8: the gate previously published cold seconds only).  Prints one
+JSON line with cold AND steady per-stage seconds; exits nonzero on any
+parity failure.  Run while nothing else touches the chip.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import shutil
 import sys
@@ -34,22 +39,14 @@ AREA, ROOM = "Area_2", "lounge_1"
 SCENE = f"{AREA}_{ROOM}"
 
 
-def main():
-    from ipcgen_tpu.utils.device_probe import probe_device
-
-    platform = probe_device()
-    if platform is None:
-        print(json.dumps({"error": "device runtime unreachable"}))
-        raise SystemExit(2)
-
+def run_pass(root: Path, tag: str):
+    """All five stages through the file interfaces; returns (per-stage
+    seconds, sim_root, eval_txt path)."""
     from ipcgen_tpu.config import PipelineConfig
-    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+    from run_pipeline import main as pipeline_main
 
-    enable_persistent_cache()
-
-    root = Path(tempfile.mkdtemp(prefix="release_gate_"))
-    out_root = root / "outputs"
-    sim_root = root / "simulation_results"
+    out_root = root / f"outputs{tag}"
+    sim_root = root / f"simulation_results{tag}"
     cfg = PipelineConfig()
     cfg.data.data_root = str(FIXTURE)
     cfg.data.output_root = str(out_root)
@@ -65,12 +62,11 @@ def main():
     cfg.simulation.use_auto_trajectory = True
     cfg.simulation.save_visualizations = False
     cfg.simulation.output_base_dir = str(sim_root)
-    cfg_path = root / "cfg.yaml"
+    cfg_path = root / f"cfg{tag}.yaml"
     cfg.save(cfg_path)
 
-    from run_pipeline import main as pipeline_main
-
     stage_seconds = {}
+    eval_txt = root / f"single_scene_evaluation{tag}.txt"
     for stage in ("preprocess", "recon", "sim", "bbox", "eval"):
         t0 = time.time()
         if stage == "eval":
@@ -94,7 +90,7 @@ def main():
                     rgb.append(rows[:, 3:6].astype(np.uint8))
                     sem.append(np.full(len(rows), sem_id, np.uint16))
                     ins.append(np.full(len(rows), k, np.uint16))
-            ln_scene = root / "lidar_net" / "lounge_scan_01"
+            ln_scene = root / f"lidar_net{tag}" / "lounge_scan_01"
             ln_scene.mkdir(parents=True)
             write_labeled_ply(
                 ln_scene / "lounge_scan_01.ply",
@@ -103,10 +99,9 @@ def main():
             )
             labeled = sim_root / SCENE / "combined_pointcloud_with_label.ply"
             result = find_best_match(
-                str(labeled), str(root / "lidar_net"), 4000, 0.9, 10
+                str(labeled), str(root / f"lidar_net{tag}"), 4000, 0.9, 10
             )
             assert result is not None, "no volume-compatible eval candidate"
-            eval_txt = root / "single_scene_evaluation.txt"
             write_evaluation_report(result, str(eval_txt), elapsed=1.0)
         else:
             report = pipeline_main(
@@ -115,8 +110,40 @@ def main():
             entry = report["rooms"][SCENE]
             assert "error" not in entry, entry
         stage_seconds[stage] = round(time.time() - t0, 1)
-        print(f"[gate] {stage}: {stage_seconds[stage]}s", file=sys.stderr,
-              flush=True)
+        print(f"[gate{tag}] {stage}: {stage_seconds[stage]}s",
+              file=sys.stderr, flush=True)
+    return stage_seconds, sim_root, eval_txt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json-out", default=None,
+                    help="also write the gate JSON to this path (committed "
+                    "artifact)")
+    ap.add_argument("--passes", type=int, default=2,
+                    help="in-process passes; pass 1 = cold compiles, last "
+                    "pass = bucket-warm steady")
+    args = ap.parse_args()
+
+    from ipcgen_tpu.utils.device_probe import probe_device
+
+    platform = probe_device()
+    if platform is None:
+        print(json.dumps({"error": "device runtime unreachable"}))
+        raise SystemExit(2)
+
+    from ipcgen_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    root = Path(tempfile.mkdtemp(prefix="release_gate_"))
+    passes = []
+    for i in range(max(args.passes, 1)):
+        stage_seconds, sim_root, eval_txt = run_pass(
+            root, "" if i == 0 else f"_p{i}"
+        )
+        passes.append(stage_seconds)
+    stage_seconds = passes[-1]  # parity is asserted on the final pass
 
     # Format parity: reuse the golden test's reference-reader byte walk.
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
@@ -139,13 +166,20 @@ def main():
     out = {
         "gate": "lroom_five_stage_hardware",
         "platform": platform,
-        "stage_seconds": stage_seconds,
-        "total_seconds": round(sum(stage_seconds.values()), 1),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "stage_seconds_cold": passes[0],
+        "stage_seconds_steady": stage_seconds,
+        "total_seconds_cold": round(sum(passes[0].values()), 1),
+        "total_seconds_steady": round(sum(stage_seconds.values()), 1),
+        "passes": len(passes),
         "labeled_points": int(len(data["xyz"])),
         "detection_objects": int(doc["metadata"]["total_objects"]),
         "parity": "ok",
     }
     print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
     shutil.rmtree(root, ignore_errors=True)
 
 
