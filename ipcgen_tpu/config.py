@@ -98,8 +98,13 @@ class EvaluationConfig:
     evaluate_single_scene.py CLI defaults)."""
 
     max_eval_points: int = 100000
-    compute_chamfer: bool = True
-    compute_mesh_quality: bool = True
+    # Reference yaml (configs/s3dis_config.yaml:50-53) ships both gates
+    # false, and its recon main loop comments per-variant evaluation out
+    # (s3dis_nksr_reconstructor.py:486-487) — defaulting True made every
+    # pipeline room pay ~3 s of Poisson-disk + Chamfer the reference
+    # production path never runs.
+    compute_chamfer: bool = False
+    compute_mesh_quality: bool = False
     max_points: int = 10000
     volume_threshold: float = 0.3
     max_candidates: int = 50

@@ -132,31 +132,41 @@ def _host_nn_small(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
     return out
 
 
-def load_room_label_data(s3dis_data_root, area, room, host_only_nn=False):
+def load_room_label_data(s3dis_data_root, area, room, host_only_nn=False,
+                         spans=None):
     """Annotation cloud + exact-join color match against the raw cloud
     (reference: :505-544).  Returns (points, colors, sem, ins) or Nones.
 
     ``host_only_nn=True`` (the background prefetch) keeps the unmatched-row
     color fallback on host unless it is pathologically large — annotation
     rows are a subset of the room cloud, so the exact join matches
-    essentially every row and the fallback is empty in practice."""
+    essentially every row and the fallback is empty in practice.
+    ``spans`` (optional dict) receives sub-step seconds for attribution."""
+    if spans is None:
+        spans = {}
     if not s3dis_data_root or not area or not room:
         return None, None, None, None
     try:
         from ipcgen_tpu.semantic.annotations import S3DISAnnotationLoader
 
         loader = S3DISAnnotationLoader(s3dis_data_root, verbose=False)
+        t0 = time.time()
         room_annotations = loader.load_room_annotations(area, room)
+        spans["ann_parse"] = time.time() - t0
         if not room_annotations:
             return None, None, None, None
+        t0 = time.time()
         points, semantic_labels, instance_labels = (
             loader.create_labeled_pointcloud_with_instances(room_annotations)
         )
+        spans["ann_stack"] = time.time() - t0
         if len(points) == 0:
             return None, None, None, None
+        t0 = time.time()
         original_points, original_colors = _load_room_original_data(
             s3dis_data_root, area, room
         )
+        spans["raw_parse"] = time.time() - t0
         if original_points is None or original_colors is None:
             colors = np.ones((len(points), 3), dtype=np.float32) * 0.5
         else:
@@ -213,6 +223,7 @@ class LabelPrefetch:
         import threading
 
         self.seconds = 0.0  # full background duration (for profiling)
+        self.spans: Dict[str, float] = {}  # sub-step attribution
         self._data = (None, None, None, None)
         self.grid = None
         self._thread = threading.Thread(
@@ -224,14 +235,17 @@ class LabelPrefetch:
         t0 = time.time()
         try:
             self._data = load_room_label_data(
-                s3dis_data_root, area, room, host_only_nn=True
+                s3dis_data_root, area, room, host_only_nn=True,
+                spans=self.spans,
             )
             if self._data[0] is not None and len(self._data[0]):
                 from ipcgen_tpu.ops.grid_nn import LabelGrid
 
+                tg = time.time()
                 grid = LabelGrid(np.asarray(self._data[0], np.float32))
                 grid.block_until_ready()
                 self.grid = grid
+                self.spans["grid_build"] = time.time() - tg
         except Exception:
             pass
         finally:
@@ -591,10 +605,18 @@ class S3DISSimScene:
                     # the join() wait above — record it alone (adding the
                     # join dt on top would double-count the overlap).
                     self.profile["label_load_bg"] = self.label_prefetch.seconds
+                    for k, v in self.label_prefetch.spans.items():
+                        self.profile[f"label_bg_{k}"] = float(v)
                     dt = time.time() - t0
                     self.profile["label_load"] = (
                         dt if on_critical_path else 0.0
                     )
+                    if not on_critical_path:
+                        # How long the async NN worker sat waiting for the
+                        # prefetch to finish — the prefetch's critical-path
+                        # residue (already inside label_load_bg's wall span,
+                        # recorded separately for attribution).
+                        self.profile["label_bg_join_wait"] = dt
                 else:
                     data = self._load_s3dis_annotations_with_colors()
                     dt = time.time() - t0
@@ -679,6 +701,10 @@ class S3DISSimScene:
                         q_flat[jnp.asarray(np.array([nz[0], nz[-1]]))]
                     )
                 self._async_idx = self._label_nn(q_flat)[self._device_mask]
+                grid = (self._s3dis_cache or {}).get("grid")
+                if grid is not None:
+                    for k, v in getattr(grid, "profile", {}).items():
+                        self.profile[f"label_nn_{k}"] = float(v)
             except Exception:
                 self._async_idx = None
             finally:

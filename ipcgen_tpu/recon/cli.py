@@ -67,16 +67,21 @@ def reconstruct_room(
     """Per-variant reconstruction loop (reference main: :396-499)."""
     from ipcgen_tpu.preprocess.loader import load_preprocessed_data
 
+    stage_spans: Dict[str, float] = {}
+    t0 = time.time()
     room_data = load_preprocessed_data(data_path)
+    stage_spans["load_pickle"] = time.time() - t0
     output_dir = Path(output_dir)
     scene_dir = output_dir / f"{room_data['area']}_{room_data['room']}"
     scene_dir.mkdir(parents=True, exist_ok=True)
 
+    t0 = time.time()
     reconstructor = S3DISReconstructor(config)
     evaluator = S3DISEvaluator(config)
     from ipcgen_tpu.recon.projection_viz import ReconstructionVisualizer
 
     visualizer = ReconstructionVisualizer(config)
+    stage_spans["init"] = time.time() - t0
     results: Dict = {}
     variants = room_data.get("variants", {})
     if sparsity:
@@ -84,13 +89,19 @@ def reconstruct_room(
 
     for name, variant in variants.items():
         try:
+            t0 = time.time()
             mesh, stats = reconstructor.reconstruct_mesh(
                 variant["points"],
                 normals=variant.get("normals"),
                 colors=variant.get("colors"),
             )
+            stage_spans["recon"] = stage_spans.get("recon", 0.0) + (
+                time.time() - t0)
+            t0 = time.time()
             mesh_path = scene_dir / f"mesh_{name}.ply"
             reconstructor.save_mesh(mesh, mesh_path, stats)
+            stage_spans["save_mesh"] = stage_spans.get("save_mesh", 0.0) + (
+                time.time() - t0)
             # Per-variant projection PNGs (reference: s3dis_nksr_reconstructor
             # .py:158-264, called from its main loop), gated by
             # visualization.save_visualizations.
@@ -125,11 +136,19 @@ def reconstruct_room(
             results[name] = {"error": str(e)}
             print(f"[Recon] {name} failed: {e}")
 
+    t0 = time.time()
     save_experiment_report(
         results,
         scene_dir,
         {"area": room_data["area"], "room": room_data["room"]},
     )
+    stage_spans["report"] = time.time() - t0
+    # `recon` here is the full reconstruct_mesh wall incl. H2D/D2H; the
+    # finer fuse/march/... spans print per variant above.  Anything the
+    # stage wall shows beyond these spans is caller overhead.
+    print("  recon stage sub-spans: "
+          + " ".join(f"{k}={v:.1f}" for k, v in stage_spans.items()),
+          flush=True)
     return results
 
 

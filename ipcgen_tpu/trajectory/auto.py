@@ -376,17 +376,69 @@ class AutoTrajectoryGenerator:
         if len(verts):
             z_lo = pts[:, 2].min() - r
             z_hi = pts[:, 2].max() + r
-            band = verts[(verts[:, 2] >= z_lo) & (verts[:, 2] <= z_hi)]
-            if len(band):
-                # (W, V') any-vertex-in-AABB, chunked over waypoints
+            grid = self._band_cell_grid(verts, z_lo, z_hi, r)
+            if grid is not None:
+                band, starts, lo0, inv_h, nx, ny = grid
+                # Broad phase: the <=3x3 cells the robot AABB overlaps;
+                # narrow phase: exact vertex-in-AABB over those cells only.
+                # Same result as the full (W, V') test — every band vertex
+                # inside the AABB lies in an overlapped cell — at ~1% of
+                # the comparisons (the recount was 2/3 of the trajectory
+                # stage's 2.5 s/room).
+                c0 = np.floor((pts[:, :2] - r - lo0) * inv_h).astype(np.int64)
+                c1 = np.floor((pts[:, :2] + r - lo0) * inv_h).astype(np.int64)
+                c0 = np.clip(c0, 0, [nx - 1, ny - 1])
+                c1 = np.clip(c1, 0, [nx - 1, ny - 1])
                 for i in range(len(pts)):
                     lo = pts[i] - r
                     hi = pts[i] + r
-                    hits[i] = bool(
-                        np.any(np.all((band >= lo) & (band <= hi), axis=1))
-                    )
+                    hit = False
+                    for cx in range(c0[i, 0], c1[i, 0] + 1):
+                        for cy in range(c0[i, 1], c1[i, 1] + 1):
+                            s, e = starts[cx * ny + cy], starts[cx * ny + cy + 1]
+                            if s == e:
+                                continue
+                            seg = band[s:e]
+                            if np.any(
+                                np.all((seg >= lo) & (seg <= hi), axis=1)
+                            ):
+                                hit = True
+                                break
+                        if hit:
+                            break
+                    hits[i] = hit
         # Reference counts out-of-bounds OR in-mesh, never both (continue).
         return int(np.sum(out_of_bounds | (~out_of_bounds & hits)))
+
+    def _band_cell_grid(self, verts: np.ndarray, z_lo: float, z_hi: float,
+                        r: float):
+        """CSR (x, y) cell index over the z-band vertices, cached per band.
+
+        Candidates share the robot height, so every recount in a room hits
+        the same band; building the index once (a sort) and slicing cells
+        per waypoint replaces 37 candidates x W waypoints full-band scans.
+        """
+        key = (round(float(z_lo), 6), round(float(z_hi), 6), len(verts))
+        cached = getattr(self, "_band_grid_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        band = verts[(verts[:, 2] >= z_lo) & (verts[:, 2] <= z_hi)]
+        if not len(band):
+            grid = None
+        else:
+            cell = max(2.0 * r, 1e-3)
+            inv_h = 1.0 / cell
+            lo0 = band[:, :2].min(axis=0)
+            cx = np.floor((band[:, 0] - lo0[0]) * inv_h).astype(np.int64)
+            cy = np.floor((band[:, 1] - lo0[1]) * inv_h).astype(np.int64)
+            nx, ny = int(cx.max()) + 1, int(cy.max()) + 1
+            cid = cx * ny + cy
+            order = np.argsort(cid, kind="stable")
+            band = np.ascontiguousarray(band[order])
+            starts = np.searchsorted(cid[order], np.arange(nx * ny + 1))
+            grid = (band, starts, lo0, inv_h, nx, ny)
+        self._band_grid_cache = (key, grid)
+        return grid
 
     @staticmethod
     def _generate_linear_waypoints(

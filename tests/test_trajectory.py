@@ -202,3 +202,51 @@ def test_selection_scoring():
     c_hit = cand(5.0, 1.0, 5)  # 1.2 - 0.5 = 0.7
     best = gen._select_best_trajectory([c_short, c_long, c_hit])
     assert best is c_long
+
+
+def test_collision_recount_grid_matches_bruteforce():
+    """The CSR cell-grid recount must equal the full (W, V') vertex scan.
+
+    The broad phase only skips cells the robot AABB cannot overlap, so the
+    count is exact by construction; fuzz with waypoints both inside and
+    out of bounds, against furniture clusters at robot height."""
+    from ipcgen_tpu.containers.mesh import TriMesh
+
+    rng = np.random.default_rng(7)
+    w, h, z = 6.0, 5.0, 2.7
+    pieces = [rng.uniform(0, 1, (20000, 3)) * np.array([w, h, 0.02])]
+    for _ in range(5):
+        pos = np.array([rng.uniform(0.5, w - 1.5),
+                        rng.uniform(0.5, h - 1.5), 0.0])
+        pieces.append(
+            rng.uniform(0, 1, (3000, 3)) * np.array([0.8, 0.8, 1.6]) + pos
+        )
+    verts = np.vstack(pieces).astype(np.float32)
+    mesh = TriMesh(verts, np.array([[0, 1, 2]], np.int32))
+    rb = {"x_min": 0.0, "x_max": w, "y_min": 0.0, "y_max": h,
+          "z_min": 0.0, "z_max": z}
+    gen = AutoTrajectoryGenerator(seed=0)
+    gen.room_analysis = type(
+        "RA", (), {"bounds": rb, "mesh": mesh, "free_space_points": []}
+    )()
+    r = gen.robot_radius
+    for _ in range(3):
+        wps = [
+            Waypoint(x=rng.uniform(-0.2, w + 0.2),
+                     y=rng.uniform(-0.2, h + 0.2), z=1.0, yaw=0)
+            for _ in range(60)
+        ]
+        pts = np.array([[p.x, p.y, p.z] for p in wps])
+        oob = ~(
+            (rb["x_min"] <= pts[:, 0] - r) & (pts[:, 0] + r <= rb["x_max"])
+            & (rb["y_min"] <= pts[:, 1] - r) & (pts[:, 1] + r <= rb["y_max"])
+            & (rb["z_min"] <= pts[:, 2] - r) & (pts[:, 2] + r <= rb["z_max"])
+        )
+        z_lo, z_hi = pts[:, 2].min() - r, pts[:, 2].max() + r
+        band = verts[(verts[:, 2] >= z_lo) & (verts[:, 2] <= z_hi)]
+        hits = np.array([
+            bool(np.any(np.all((band >= p - r) & (band <= p + r), axis=1)))
+            for p in pts
+        ])
+        brute = int(np.sum(oob | (~oob & hits)))
+        assert gen._count_waypoint_collisions(wps) == brute
