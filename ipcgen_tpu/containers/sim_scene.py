@@ -15,7 +15,7 @@ import pickle
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -255,6 +255,35 @@ class LabelPrefetch:
         """Block until loaded; returns (points, colors, sem, ins)."""
         self._thread.join()
         return self._data
+
+
+_prewarm_registry: Dict[Tuple[str, str, str], "LabelPrefetch"] = {}
+
+
+def prewarm_labels(s3dis_data_root, area, room) -> Optional["LabelPrefetch"]:
+    """Start a room's label prefetch ahead of its sim stage.
+
+    Batch drivers call this as soon as the room's identity is known (right
+    after preprocessing) so the ~8 s of annotation parse + color join +
+    grid build hides behind the reconstruction stage's device work instead
+    of racing the much shorter trajectory+scan window inside the sim stage.
+    ``S3DISSimulator.load_scene`` pops the entry; unclaimed prefetches are
+    replaced if the same key is prewarmed again.
+    """
+    if not s3dis_data_root or not area or not room:
+        return None
+    key = (str(s3dis_data_root), str(area), str(room))
+    pf = _prewarm_registry.get(key)
+    if pf is None:
+        pf = LabelPrefetch(s3dis_data_root, area, room)
+        _prewarm_registry[key] = pf
+    return pf
+
+
+def claim_prewarmed_labels(s3dis_data_root, area, room):
+    """Pop a prewarmed prefetch for this room (None if none registered)."""
+    key = (str(s3dis_data_root), str(area), str(room))
+    return _prewarm_registry.pop(key, None)
 
 
 @dataclass

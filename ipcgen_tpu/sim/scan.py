@@ -305,6 +305,12 @@ def _scan_core(
         jnp.broadcast_to(dirs_sp, (w, r, 3)), poses
     )  # (W, R, 3) patch order
     origins = jnp.broadcast_to(poses[:, None, :3, 3], (w, r, 3))
+    # Pin the beam transform as materialized values: without the barrier
+    # XLA fuses (= recomputes) the cheap einsum producer inside the MXU
+    # prepass's chunked slab loop, costing ~26 ms of a ~158 ms dense-32
+    # scan; with it the fused program matches kernel-only throughput
+    # bit-exactly (scripts/frontend_probe3.py: 159 -> 133 ms).
+    origins, dirs_wp = jax.lax.optimization_barrier((origins, dirs_wp))
     res = raycast_asset(
         origins.reshape(w * r, 3),
         dirs_wp.reshape(w * r, 3),

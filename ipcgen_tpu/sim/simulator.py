@@ -31,7 +31,10 @@ from ipcgen_tpu.containers import (
     ScanQuality,
     TriMesh,
 )
-from ipcgen_tpu.containers.sim_scene import LabelPrefetch
+from ipcgen_tpu.containers.sim_scene import (
+    LabelPrefetch,
+    claim_prewarmed_labels,
+)
 from ipcgen_tpu.models import (
     DualAxisLidarIntrinsics,
     Indoor8LineLidarIntrinsics,
@@ -134,9 +137,15 @@ class S3DISSimulator:
         # (the native parser is a GIL-releasing ctypes call).
         root = self.config.get("s3dis_data_root")
         area, room = self.config.get("area"), self.config.get("room")
-        self._label_prefetch = (
-            LabelPrefetch(root, area, room) if root and area and room else None
-        )
+        # A batch driver may have prewarmed this room's labels while the
+        # recon stage ran (containers.sim_scene.prewarm_labels) — claim
+        # that; otherwise start the prefetch now.
+        self._label_prefetch = claim_prewarmed_labels(root, area, room)
+        if self._label_prefetch is None:
+            self._label_prefetch = (
+                LabelPrefetch(root, area, room)
+                if root and area and room else None
+            )
 
         self.trajectory_generator = SmartTrajectoryGenerator(
             room_bounds_obj.to_dict(),

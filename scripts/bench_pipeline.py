@@ -161,6 +161,12 @@ def main():
             f"{k}={v:.1f}" for k, v in rd.get("spans", {}).items()
         )
         print(f"  preprocess sub-spans: {pre_spans}", flush=True)
+        # Room identity is known now: start the annotation/label prefetch
+        # so its parse + grid build hides behind the recon stage's device
+        # work instead of the sim stage's much shorter scan window.
+        from ipcgen_tpu.containers.sim_scene import prewarm_labels
+
+        prewarm_labels(str(data_root), "Area_1", room)
         t0 = time.time()
         recon_dir = work / "outputs" / f"reconstruction_results{pass_tag}"
         reconstruct_room(rd["output_path"], cfg.to_dict(), str(recon_dir))

@@ -86,6 +86,14 @@ def main(argv=None):
                     )
                     entry["preprocess"] = "done"
 
+            if "sim" in stages:
+                # Start the room's annotation/label prefetch now so its
+                # parse + grid build hides behind the recon stage's device
+                # work (the sim stage's own scan window is much shorter).
+                from ipcgen_tpu.containers.sim_scene import prewarm_labels
+
+                prewarm_labels(cfg.data.data_root, area, room)
+
             mesh_path = recon_dir / scene_name / "mesh_dense.ply"
             if "recon" in stages:
                 if mesh_path.exists():

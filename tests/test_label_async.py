@@ -88,3 +88,30 @@ def test_async_transfer_falls_back_on_count_mismatch():
     np.testing.assert_array_equal(np.asarray(c0)[:-7], np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(s0)[:-7], np.asarray(s1))
     np.testing.assert_array_equal(np.asarray(i0)[:-7], np.asarray(i1))
+
+
+def test_prewarm_registry_round_trip():
+    """Batch drivers prewarm a room's labels before the sim stage; the
+    simulator claims (pops) the prefetch, and the data matches a direct
+    load."""
+    from ipcgen_tpu.containers.sim_scene import (
+        claim_prewarmed_labels,
+        prewarm_labels,
+    )
+
+    assert prewarm_labels(None, AREA, ROOM) is None
+    pf = prewarm_labels(FIXTURE, AREA, ROOM)
+    assert pf is not None
+    # Second prewarm of the same key reuses the in-flight prefetch.
+    assert prewarm_labels(FIXTURE, AREA, ROOM) is pf
+    claimed = claim_prewarmed_labels(FIXTURE, AREA, ROOM)
+    assert claimed is pf
+    # Claimed = popped: a second claim finds nothing.
+    assert claim_prewarmed_labels(FIXTURE, AREA, ROOM) is None
+    pts, colors, sem, ins = claimed.join()
+    ref = load_room_label_data(FIXTURE, AREA, ROOM)
+    np.testing.assert_array_equal(np.asarray(pts), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(sem), np.asarray(ref[2]))
+    assert claimed.grid is not None
+    # Prefetch sub-spans are recorded for attribution.
+    assert "ann_parse" in claimed.spans and "grid_build" in claimed.spans
