@@ -24,6 +24,9 @@ import numpy as np
 
 from ipcgen_tpu.ops.knn import knn
 
+# Same grid-path threshold as ops.outliers; tests monkeypatch it.
+GRID_MIN_N = 150_000
+
 
 @functools.partial(jax.jit, static_argnames=())
 def _smallest_eigenvector_3x3(cov: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +93,7 @@ def estimate_normals(
     if n == 0:
         return np.zeros((0, 3), dtype=np.float32)
     k = min(max_nn, n)
-    if n > 150_000:
+    if n > GRID_MIN_N:
         # Grid-hashed self-join at room scale; results stay on device so the
         # neighbor gather + PCA run without a host round trip.  Candidates
         # beyond the radius (incl. +inf for sparse neighborhoods) are masked.

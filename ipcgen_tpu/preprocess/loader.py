@@ -17,7 +17,10 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ipcgen_tpu.ops.normals import estimate_normals
-from ipcgen_tpu.ops.outliers import remove_statistical_outliers
+from ipcgen_tpu.ops.outliers import (
+    remove_outliers_and_estimate_normals,
+    remove_statistical_outliers,
+)
 
 
 class S3DISLoader:
@@ -83,6 +86,24 @@ class S3DISPreprocessor:
         Returns (points, colors, labels, normals).
         """
         points = np.asarray(points)
+        if self.config["remove_outliers"] and self.config["estimate_normals"]:
+            # Fused fast path: one grid self-join serves the outlier means
+            # AND the PCA neighborhoods (identical inlier mask; see
+            # ops.outliers.remove_outliers_and_estimate_normals).  Saves a
+            # full host grid build + upload + k-NN program per room.
+            mask, normals = remove_outliers_and_estimate_normals(
+                points,
+                nb_neighbors=self.config["outlier_nb_neighbors"],
+                std_ratio=self.config["outlier_std_ratio"],
+                radius=self.config["normal_search_radius"],
+                max_nn=self.config["normal_max_nn"],
+            )
+            points = points[mask]
+            if colors is not None:
+                colors = np.asarray(colors)[mask]
+            if labels is not None:
+                labels = np.asarray(labels)[mask]
+            return points, colors, labels, normals
         if self.config["remove_outliers"]:
             mask, _ = remove_statistical_outliers(
                 points,

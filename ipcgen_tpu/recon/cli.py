@@ -63,6 +63,7 @@ def reconstruct_room(
     config: Dict,
     output_dir: str,
     sparsity: str = None,
+    span_sink: Dict = None,
 ) -> Dict:
     """Per-variant reconstruction loop (reference main: :396-499)."""
     from ipcgen_tpu.preprocess.loader import load_preprocessed_data
@@ -149,6 +150,14 @@ def reconstruct_room(
     print("  recon stage sub-spans: "
           + " ".join(f"{k}={v:.1f}" for k, v in stage_spans.items()),
           flush=True)
+    if span_sink is not None:
+        span_sink.update(stage_spans)
+        # Device-op spans of the last variant (fuse/march/weld/imls/...)
+        # so callers can persist the full attribution, not just the wall.
+        for r in results.values():
+            for k, v in r.get("reconstruction_stats", {}).get(
+                    "spans", {}).items():
+                span_sink[f"op_{k}"] = v
     return results
 
 

@@ -146,6 +146,8 @@ def main():
 
     stage_times = {"preprocess": [], "sim": [], "bbox": []}
     sim_profiles = []
+    recon_spans_all = []
+    pre_spans_all = []
     room_times = []
 
     def run_room(room, pass_tag):
@@ -160,6 +162,7 @@ def main():
         pre_spans = " ".join(
             f"{k}={v:.1f}" for k, v in rd.get("spans", {}).items()
         )
+        pre_spans_all.append(dict(rd.get("spans", {})))
         print(f"  preprocess sub-spans: {pre_spans}", flush=True)
         # Room identity is known now: start the annotation/label prefetch
         # so its parse + grid build hides behind the recon stage's device
@@ -169,7 +172,10 @@ def main():
         prewarm_labels(str(data_root), "Area_1", room)
         t0 = time.time()
         recon_dir = work / "outputs" / f"reconstruction_results{pass_tag}"
-        reconstruct_room(rd["output_path"], cfg.to_dict(), str(recon_dir))
+        rspans = {}
+        reconstruct_room(rd["output_path"], cfg.to_dict(), str(recon_dir),
+                         span_sink=rspans)
+        recon_spans_all.append(rspans)
         stage_times.setdefault("recon", []).append(time.time() - t0)
         t0 = time.time()
         scene_name = f"Area_1_{room}"
@@ -258,6 +264,22 @@ def main():
                 float(np.mean([p.get(k, 0.0) for p in steady_profiles])), 2,
             )
             for k in sorted({k for p in sim_profiles for k in p})
+        },
+        # Recon/preprocess stage attribution (steady mean): load_pickle/
+        # init/recon/save_mesh/report are the stage wall; op_* are the
+        # reconstructor's device-op spans (fuse/march/weld/imls/orient/
+        # colors) inside `recon`.
+        "recon_subspans_steady": {
+            k: round(float(np.mean(
+                [p.get(k, 0.0)
+                 for p in recon_spans_all[-len(steady_profiles):]])), 2)
+            for k in sorted({k for p in recon_spans_all for k in p})
+        },
+        "preprocess_subspans_steady": {
+            k: round(float(np.mean(
+                [p.get(k, 0.0)
+                 for p in pre_spans_all[-len(steady_profiles):]])), 2)
+            for k in sorted({k for p in pre_spans_all for k in p})
         },
     }
     print(json.dumps(out))

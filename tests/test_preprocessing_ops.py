@@ -100,3 +100,64 @@ def test_density():
     pts = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], dtype=np.float32)
     assert np.isclose(density(pts), 3 / 8.0)
     assert density(np.zeros((0, 3))) == 0.0
+
+
+class TestFusedOutliersNormals:
+    """The fused one-join path must match the separate grid-path product
+    semantics: identical inlier mask, near-identical normals (VERDICT r4
+    item 6: the preprocess stage's two k-NN joins fused into one)."""
+
+    def _cloud(self, rng, n=24_000):
+        # Dense planar patches + genuine far outliers, production-ish density
+        pts = rng.uniform(0, 1, (n, 3)).astype(np.float32) * [4.0, 3.0, 0.01]
+        pts[n // 2:, 2] += 1.5  # second plane
+        out = rng.uniform(8, 12, (n // 100, 3)).astype(np.float32)
+        return np.vstack([pts, out])
+
+    def test_mask_matches_separate_grid_path(self, rng, monkeypatch):
+        from ipcgen_tpu.ops import normals as nrm_mod
+        from ipcgen_tpu.ops import outliers as out_mod
+
+        pts = self._cloud(rng)
+        monkeypatch.setattr(out_mod, "GRID_MIN_N", 1000)
+        monkeypatch.setattr(nrm_mod, "GRID_MIN_N", 1000)
+        mask_sep, _ = out_mod.remove_statistical_outliers(
+            pts, nb_neighbors=20, std_ratio=2.0)
+        mask_fused, normals = out_mod.remove_outliers_and_estimate_normals(
+            pts, nb_neighbors=20, std_ratio=2.0, radius=0.1, max_nn=30)
+        # Same candidate grid (same cell size, same cap) => the nearest 21
+        # of the k=30 join equal the separate k=21 join => identical means
+        # => identical mask.
+        np.testing.assert_array_equal(mask_fused, mask_sep)
+        assert len(normals) == int(mask_fused.sum())
+        assert np.allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-3)
+
+    def test_normals_match_separate_grid_path(self, rng, monkeypatch):
+        from ipcgen_tpu.ops import normals as nrm_mod
+        from ipcgen_tpu.ops import outliers as out_mod
+
+        pts = self._cloud(rng)
+        monkeypatch.setattr(out_mod, "GRID_MIN_N", 1000)
+        monkeypatch.setattr(nrm_mod, "GRID_MIN_N", 1000)
+        mask, fused = out_mod.remove_outliers_and_estimate_normals(
+            pts, nb_neighbors=20, std_ratio=2.0, radius=0.1, max_nn=30)
+        sep = nrm_mod.estimate_normals(pts[mask], radius=0.1, max_nn=30)
+        dot = np.abs(np.sum(fused * sep, axis=1))
+        # Differ only where an outlier sat inside a 30-NN neighborhood
+        # (fused masks it; separate pulls the next-nearest inlier).
+        assert np.median(dot) > 0.999
+        assert (dot > 0.99).mean() > 0.97
+        # Planar regions: fused normals must still be the plane normal.
+        plane = np.abs(fused[:1000, 2])
+        assert np.median(plane) > 0.999
+
+    def test_small_input_falls_back(self, rng):
+        from ipcgen_tpu.ops import outliers as out_mod
+
+        pts = rng.normal(size=(400, 3)).astype(np.float32)
+        mask, normals = out_mod.remove_outliers_and_estimate_normals(
+            pts, nb_neighbors=10, std_ratio=2.0, radius=0.5, max_nn=15)
+        mask_sep, _ = out_mod.remove_statistical_outliers(
+            pts, nb_neighbors=10, std_ratio=2.0)
+        np.testing.assert_array_equal(mask, mask_sep)
+        assert len(normals) == int(mask.sum())
