@@ -187,6 +187,25 @@ def _static_profile_dirs(fov_up, fov_down, v_res, h_res, vdeg_tuple):
     return dirs, keep
 
 
+@functools.lru_cache(maxsize=16)
+def _static_profile_dirs_permuted(fov_up, fov_down, v_res, h_res, vdeg_tuple,
+                                  perm_bytes):
+    """Device-resident (1, R, 3) dirs ALREADY in kernel patch order.
+
+    The in-jit permutation gather on a (1, R, 3) array indexes along a
+    non-minor axis with a 3-wide minor dim — a lane-misaligned gather XLA
+    lowers to a slow path costing ~25 ms of a ~133 ms dense-32 scan
+    (scripts/frontend_probe4.py e2 vs scripts/scan_unordered_bisect.py a1:
+    host-prepermuted dirs 132.8 ms, in-jit gather 157-159 ms).  Static
+    profiles are pure functions of their constants, so the permuted
+    pattern is computed on host once and cached on device."""
+    dirs, _ = _static_profile_dirs(fov_up, fov_down, v_res, h_res, vdeg_tuple)
+    perm = np.frombuffer(perm_bytes, dtype=np.int32)
+    dirs_sp = jnp.asarray(np.asarray(dirs)[:, perm])
+    jax.block_until_ready(dirs_sp)
+    return dirs_sp
+
+
 @functools.lru_cache(maxsize=32)
 def patch_permutation(h: int, w: int, lines_pp: int = 8,
                       az_pp: int = 128) -> np.ndarray:
@@ -267,7 +286,8 @@ def _device_perm_pair(perm_bytes: bytes, r: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_range", "backend", "range_noise_std", "outputs", "has_keep"
+        "max_range", "backend", "range_noise_std", "outputs", "has_keep",
+        "pre_permuted",
     ),
 )
 def _scan_core(
@@ -283,6 +303,7 @@ def _scan_core(
     range_noise_std: float,
     outputs: str = "full",
     has_keep: bool = True,
+    pre_permuted: bool = False,
 ) -> ScanBatch:
     """The whole post-beam-gen scan as ONE compiled program: pose transform,
     ray permutation, raycast, range noise, range mask, and both incidence
@@ -300,7 +321,19 @@ def _scan_core(
     """
     w = poses.shape[0]
     r = dirs_sensor.shape[1]
-    dirs_sp = dirs_sensor[:, perm]  # (WB, R, 3), WB in {1, W}
+    if pre_permuted:
+        # Static profiles arrive already in patch order (host-permuted,
+        # cached on device) — the in-jit gather is skipped entirely.
+        dirs_sp = dirs_sensor
+    else:
+        # Per-waypoint patterns (dual-axis noise streams) must be permuted
+        # in-program.  Gathering the (WB, R, 3) array directly indexes a
+        # non-minor axis with a 3-wide minor dim — a lane-misaligned
+        # gather costing ~25 ms at R=128 k (frontend_probe4) — so gather
+        # the three lane-aligned (WB, R) planes instead and restack.
+        dirs_sp = jnp.stack(
+            [dirs_sensor[..., j][:, perm] for j in range(3)], axis=-1
+        )  # (WB, R, 3), WB in {1, W}
     dirs_wp = beams.dirs_to_world_batch(
         jnp.broadcast_to(dirs_sp, (w, r, 3)), poses
     )  # (W, R, 3) patch order
@@ -457,6 +490,21 @@ def scan_waypoints(
     r = dirs_sensor.shape[1]
     perm, inv_perm = scan_permutation(intrinsics, backend, r)
     perm_d, inv_perm_d = _device_perm_pair(perm.tobytes(), r)
+    pre_permuted = False
+    if isinstance(intrinsics, Indoor8LineLidarIntrinsics):
+        # Static grid pattern: permute once on host, cache on device, and
+        # skip the in-jit gather (lane-misaligned; ~25 ms at R=128 k).
+        vdeg = (
+            tuple(float(v) for v in intrinsics.vertical_degrees)
+            if intrinsics.vertical_degrees is not None
+            else None
+        )
+        dirs_sensor = _static_profile_dirs_permuted(
+            float(intrinsics.fov_up), float(intrinsics.fov_down),
+            int(intrinsics.vertical_res), int(intrinsics.horizontal_res),
+            vdeg, perm.tobytes(),
+        )
+        pre_permuted = True
     return _scan_core(
         asset,
         poses,
@@ -472,4 +520,5 @@ def scan_waypoints(
         # Grid profiles have no dropout: keep is all-ones by construction
         # (sensor_dirs_batch), so its gather+AND compile away statically.
         has_keep=isinstance(intrinsics, DualAxisLidarIntrinsics),
+        pre_permuted=pre_permuted,
     )
