@@ -301,7 +301,13 @@ def _sharded_scan_core(
         # bit-identical to the single-chip scan.
         w = poses.shape[0]
         r = dirs_sensor.shape[1]
-        dirs_sp = dirs_sensor[:, perm]  # (WB, R, 3), WB in {1, W}
+        # Gather the three lane-aligned (WB, R) planes instead of the
+        # (WB, R, 3) array (non-minor-axis gather with a 3-wide minor dim
+        # lowers to a lane-misaligned slow path — sim/scan.py,
+        # frontend_probe4).  Same values, bit-identical results.
+        dirs_sp = jnp.stack(
+            [dirs_sensor[..., j][:, perm] for j in range(3)], axis=-1
+        )  # (WB, R, 3), WB in {1, W}
         dirs_wp = beams.dirs_to_world_batch(
             jnp.broadcast_to(dirs_sp, (w, r, 3)), poses
         )
